@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship near-dedup pipeline (SURVEY.md §3.2) over the sf0.001
+documents table adapted to the spec transcripts shape.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries()/oracle_sql(): one entry per implemented operator from SURVEY.md
+§2 — SQL-expressible ops carry DuckDB oracles; the sketch/LSH/cluster
+stages are rows-only checked (driver records the weaker check for them).
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,363 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SEP_TURN = "\x1e"
+SEP_ROLE = "\x1f"
+
+
+def _cfg(**overrides):
+    """Engine config sized to the live Ray cluster: shuffle width and actor
+    pools scale with CPUs — a hash-join/aggregate pool wider than the CPU
+    count stalls waiting for actor slots at small core counts [env]."""
+    import ray
+
+    from miekki_ray.config import DedupConfig
+
+    ncpu = 8
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    kw = dict(num_partitions=max(4, min(32, ncpu)),
+              sketch_concurrency=(1, max(2, ncpu // 2)))
+    kw.update(overrides)
+    return DedupConfig(**kw)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship dedup on sf0.001: documents→transcripts adapter → full
+    MinHash/LSH/verify/cluster pipeline → cluster assignment table."""
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.pipelines.dedup import dedup_datasets
+
+    turns = documents_as_turns("/root/testdata/sf0.001")
+    res = dedup_datasets(turns, _cfg())
+    return res.clusters
+
+
+# ----------------------------------------------------------- dedup queries
+
+_DEDUP_CACHE: dict[str, Any] = {}
+
+
+def _dedup_result(sf_dir: str):
+    """The flagship is consumed by three queries()-entries; run it once per
+    sf_dir (clusters/edges are materialized Datasets inside the result)."""
+    if sf_dir not in _DEDUP_CACHE:
+        from miekki_ray.adapter import documents_as_turns
+        from miekki_ray.pipelines.dedup import dedup_datasets
+
+        _DEDUP_CACHE[sf_dir] = dedup_datasets(
+            documents_as_turns(sf_dir), _cfg())
+    return _DEDUP_CACHE[sf_dir]
+
+
+def _dedup_clusters(sf_dir: str):
+    res = _dedup_result(sf_dir)
+    return res.clusters.select_columns(["conv_id", "cluster_id"]).sort(
+        "conv_id")
+
+
+def _dedup_keep_list(sf_dir: str):
+    from miekki_ray.pipelines.dedup import keep_list
+
+    return keep_list(_dedup_result(sf_dir)).sort("conv_id")
+
+
+def _dedup_edges(sf_dir: str):
+    return _dedup_result(sf_dir).edges.sort(["a", "b"])
+
+
+def _reconstruct_docs(sf_dir: str):
+    from miekki_ray.adapter import documents_as_multiturn
+    from miekki_ray.stages.docs import reconstruct_docs
+
+    docs = reconstruct_docs(documents_as_multiturn(sf_dir), _cfg())
+    return docs.select_columns(["conv_id", "doc", "n_turns"]).sort("conv_id")
+
+
+def _minhash_sketch(sf_dir: str):
+    """Rows-only: one signature row per unique doc, with shingle counts."""
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.stages.docs import reconstruct_docs
+    from miekki_ray.stages.exact import exact_dedup
+    from miekki_ray.stages.sketch import sketch_docs
+
+    cfg = _cfg()
+    docs = reconstruct_docs(documents_as_turns(sf_dir), cfg)
+    uniq, _ = exact_dedup(docs, cfg)
+    sk = sketch_docs(uniq, cfg)
+    return sk.select_columns(["conv_id", "n_shingles"]).sort("conv_id")
+
+
+def _band_rows(sf_dir: str):
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.stages.docs import reconstruct_docs
+    from miekki_ray.stages.exact import exact_dedup
+    from miekki_ray.stages.sketch import band_explode, sketch_docs
+
+    cfg = _cfg()
+    docs = reconstruct_docs(documents_as_turns(sf_dir), cfg)
+    uniq, _ = exact_dedup(docs, cfg)
+    return band_explode(sketch_docs(uniq, cfg), cfg) \
+        .select_columns(["conv_id", "bucket_key"]).sort(["conv_id",
+                                                         "bucket_key"])
+
+
+def _simhash_pairs(sf_dir: str):
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.stages.docs import reconstruct_docs
+    from miekki_ray.stages.exact import exact_dedup
+    from miekki_ray.stages.simhash import simhash_candidates, simhash_docs
+
+    cfg = _cfg()
+    docs = reconstruct_docs(documents_as_turns(sf_dir), cfg)
+    uniq, _ = exact_dedup(docs, cfg)
+    return simhash_candidates(simhash_docs(uniq, cfg), cfg).sort(["a", "b"])
+
+
+def _embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.similarity import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.98)
+
+
+def _ann_bruteforce(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    import ray.data
+
+    from miekki_ray.stages.similarity import brute_force_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in head["embedding"].to_pylist()])
+    return brute_force_topk(emb, q, k=10)
+
+
+def _ann_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    import ray.data
+
+    from miekki_ray.stages.similarity import lsh_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in head["embedding"].to_pylist()])
+    return lsh_topk(emb, q, k=10)
+
+
+# ----------------------------------------------------- text analysis queries
+
+def _doc_token_counts(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.functions.textstats import whitespace_token_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": whitespace_token_count(batch["text"]),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def _doc_quality(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.functions.textstats import quality_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_scores(batch["text"])
+        q.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return q
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def _doc_langid(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.functions.textstats import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang_guess": lang_id(batch["text"])})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def _doc_fingerprints(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.functions.textstats import doc_fingerprint
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fingerprint": doc_fingerprint(batch["text"]).astype("uint64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from miekki_ray import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational stage library (DuckDB-oracled)
+        "lineitem_agg": R.lineitem_agg,
+        "events_by_type": R.events_by_type,
+        "part_brand_top5": R.part_brand_top5,
+        "orders_join_customer_top10": R.orders_join_customer_top10,
+        "customers_without_orders": R.customers_without_orders,
+        "supplier_nation_region": R.supplier_nation_region,
+        "lineitem_filter_project": R.lineitem_filter_project,
+        "orders_top20": R.orders_top20,
+        "orders_by_month": R.orders_by_month,
+        "union_sources": R.union_sources,
+        # documents-table dedup ops (DuckDB-oracled)
+        "documents_exact_keep_first": R.documents_exact_keep_first,
+        "documents_dup_clusters": R.documents_dup_clusters,
+        "documents_lang_counts": R.documents_lang_counts,
+        "documents_distinct_count": R.documents_distinct_count,
+        # doc reconstruction against SQL string_agg oracle
+        "reconstruct_docs": _reconstruct_docs,
+        # text analysis
+        "doc_token_counts": _doc_token_counts,
+        "doc_quality": _doc_quality,
+        "doc_langid": _doc_langid,
+        "doc_fingerprints": _doc_fingerprints,
+        # dedup engine proper (rows-only; MinHash/LSH not SQL-expressible)
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_list": _dedup_keep_list,
+        "dedup_edges": _dedup_edges,
+        "minhash_sketch": _minhash_sketch,
+        "band_rows": _band_rows,
+        "simhash_pairs": _simhash_pairs,
+        # similarity / embeddings
+        "embedding_near_dups": _embedding_near_dups,
+        "ann_topk_bruteforce": _ann_bruteforce,
+        "ann_topk_lsh": _ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(l_extendedprice * (1 - l_discount)) AS sum_revenue,
+                   AVG(l_discount) AS avg_disc,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n, SUM(value) AS sum_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "part_brand_top5": """
+            SELECT p_brand, COUNT(*) AS n FROM part
+            GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 5
+        """,
+        "orders_join_customer_top10": """
+            SELECT c_name, SUM(o_totalprice) AS total_spend,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name
+            ORDER BY total_spend DESC, c_name ASC LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "supplier_nation_region": """
+            SELECT s_suppkey, s_name, n_name, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY s_suppkey
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_quantity > 45.0
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "orders_top20": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "orders_by_month": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+                   CAST(month(o_orderdate) AS INTEGER) AS m,
+                   COUNT(*) AS n
+            FROM orders GROUP BY y, m
+        """,
+        "union_sources": """
+            SELECT COUNT(DISTINCT o_orderkey) AS n FROM (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0
+                UNION ALL
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "documents_exact_keep_first": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "documents_dup_clusters": """
+            SELECT d.doc_id, r.cluster_id FROM documents d
+            JOIN (SELECT text, MIN(doc_id) AS cluster_id FROM documents
+                  GROUP BY text) r
+            ON d.text = r.text ORDER BY d.doc_id
+        """,
+        "documents_lang_counts": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        """,
+        "documents_distinct_count": """
+            SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
+        """,
+        "reconstruct_docs": f"""
+            SELECT conv_id,
+                   string_agg('user' || chr(31) || text, chr(30)
+                              ORDER BY turn_idx) AS doc,
+                   CAST(COUNT(*) AS INTEGER) AS n_turns
+            FROM (SELECT 'g' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                             AS conv_id,
+                         CAST(doc_id // 100 AS INTEGER) AS turn_idx,
+                         text
+                  FROM documents)
+            GROUP BY conv_id ORDER BY conv_id
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Bench harness (SURVEY.md §7 M7).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "turns": n, "turns_per_sec": r}
+
+--scaling: runs the headline dedup twice in FRESH processes (num_cpus=8
+then 32) on the same input and reports both throughputs + scaling
+efficiency (the sandbox substitute for N- vs 4N-node clusters — driver
+instruction; BASELINE.md row 'scaling efficiency').
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_bench(num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    import ray.data
+
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.pipelines.dedup import dedup_datasets
+    from miekki_ray import relational as R
+
+    cfg = DedupConfig(num_partitions=max(16, num_cpus * 2))
+    q: dict[str, float] = {}
+
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    turns = documents_as_turns(SF_DIR)
+    n_turns = turns.count()
+
+    t0 = time.perf_counter()
+    res = dedup_datasets(documents_as_turns(SF_DIR), cfg)
+    n_clusters = res.clusters.count()
+    dedup_sec = round(time.perf_counter() - t0, 3)
+    q["dedup_flagship"] = dedup_sec
+
+    q["lineitem_agg"] = _time(
+        lambda: R.lineitem_agg(SF_DIR).to_pandas())
+    q["orders_join_customer_top10"] = _time(
+        lambda: R.orders_join_customer_top10(SF_DIR).to_pandas())
+    q["documents_dup_clusters"] = _time(
+        lambda: R.documents_dup_clusters(SF_DIR).to_pandas())
+    q["reconstruct_docs"] = _time(
+        lambda: __import__("__ray_entry__")._reconstruct_docs(SF_DIR)
+        .count())
+
+    total = round(sum(q.values()), 3)
+    return {
+        "metric": "headline_pipeline_sec",
+        "value": dedup_sec,
+        "unit": "sec",
+        "queries": q,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "clusters": n_clusters,
+        "turns_per_sec": round(n_turns / dedup_sec, 1),
+        "total_sec": total,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh ray sessions at 8 and 32 CPUs (driver-mandated
+    substitute for two cluster sizes)."""
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["turns_per_sec"]
+    tput_hi = hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "turns_per_sec_8": tput_lo, "turns_per_sec_32": tput_hi,
+        "turns": lo["turns"], "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench(NUM_CPUS)
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

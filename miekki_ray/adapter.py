@@ -1,0 +1,59 @@
+"""Adapter: driver `documents` table → spec transcripts shape.
+
+FIXTURES.md §A: "map documents → transcripts shape ... single-turn
+conversations — lets the flagship run on driver data". For a multi-turn
+variant (exercises the (conv_id, turn_idx) sort-merge against a DuckDB
+oracle) docs are grouped 100-way: conv_id = doc_id % 100,
+turn_idx = doc_id // 100 — deterministic, no wall clock."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def documents_as_turns(sf_dir: str) -> ray.data.Dataset:
+    """Single-turn conversations: conv_id = str(doc_id)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "conv_id": pa.array([f"{i:012d}" for i in ids],
+                                type=pa.string()),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32),
+                                 type=pa.int32()),
+            "role": pa.array(["user"] * n, type=pa.string()),
+            "text": batch["text"],
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.full(n, 1_700_000_000_000_000, dtype=np.int64),
+                           type=pa.timestamp("us")),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def documents_as_multiturn(sf_dir: str) -> ray.data.Dataset:
+    """100-conversation grouping for the reconstruction oracle check."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        n = batch.num_rows
+        return pa.table({
+            "conv_id": pa.array([f"g{i % 100:03d}" for i in ids],
+                                type=pa.string()),
+            "turn_idx": pa.array((ids // 100).astype(np.int32),
+                                 type=pa.int32()),
+            "role": pa.array(["user"] * n, type=pa.string()),
+            "text": batch["text"],
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.full(n, 1_700_000_000_000_000, dtype=np.int64),
+                           type=pa.timestamp("us")),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,69 @@
+"""Engine configuration — one frozen dataclass, hashed into lineage manifests.
+
+SURVEY.md §2.10: "one frozen dataclass: k, S, b, r (b·r=S asserted), seed,
+jaccard_threshold, bucket_cap, salt_max, paths; hashed into lineage
+manifests [spec BASELINE.json:14]".
+
+Every hash / permutation / sample in the engine is derived from ``seed`` so
+runs are bit-reproducible (SURVEY.md §4.2 "determinism").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- sketch config (must match the oracle's for the recall>=0.99 gate) ---
+    k: int = 10           # shingle size: character k-grams over the joined doc
+    num_perm: int = 128   # S — MinHash signature length (slots)
+    bands: int = 32       # b — LSH bands
+    rows_per_band: int = 4  # r — slots per band; b*r == S asserted
+    seed: int = 20260817  # root seed for all hash-parameter derivation
+
+    # --- decision thresholds ---
+    jaccard_threshold: float = 0.8      # exact-Jaccard verify: edge iff J >= t
+    containment_threshold: float = 0.9  # ST3: shingle-containment gate
+    containment_lcs_ratio: float = 0.8  # ST3: LCS(short,long)/len(short) >= ratio => edge
+    containment_enabled: bool = True    # gate for the suffix-array stage (§7 M5)
+
+    # --- skew handling (SURVEY.md §4.2) ---
+    bucket_cap: int = 64    # bucket with > cap docs is salted/split + pair-sampled
+    salt_factor: int = 16   # hot buckets split into this many sub-buckets
+    pair_cap: int = 2048    # max pairs emitted per (sub-)bucket, seeded sample
+
+    # --- doc assembly ---
+    doc_len_cap: int = 1_000_000  # bytes of joined doc fed to the sketcher (§7 hard part 5)
+    role_sep: str = "\x1f"        # role<sep>text within a turn
+    turn_sep: str = "\x1e"        # between turns in the joined doc
+
+    # --- physical execution ---
+    num_partitions: int = 64      # shuffle width for groupby stages
+    sketch_batch_size: int = 1024  # docs per sketcher batch
+    sketch_concurrency: tuple[int, int] = field(default=(2, 8))
+    verify_batch_size: int = 256
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm: "
+                f"{self.bands}*{self.rows_per_band} != {self.num_perm}"
+            )
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+
+    def config_hash(self) -> str:
+        """Stable hash of the semantic config — recorded in every stage
+        manifest so resume invalidates on config change [spec BASELINE.json:14]."""
+        d = asdict(self)
+        # physical knobs don't change results; exclude them from the hash
+        for phys in ("num_partitions", "sketch_batch_size", "sketch_concurrency",
+                     "verify_batch_size"):
+            d.pop(phys)
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.blake2b(blob, digest_size=16).hexdigest()

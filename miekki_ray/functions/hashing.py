@@ -1,0 +1,192 @@
+"""Vectorized 64-bit hashing kernels — the numeric core of the sketcher.
+
+This is the graft's rendering of the reference's k-mer MinHash sketching
+[spec BASELINE.json:6]: "per-conversation k-shingle MinHash signatures
+computed in map_batches over zero-copy Arrow batches (vectorized 64-bit
+multiply-shift hashing in NumPy inside an actor pool)".
+
+All arithmetic is uint64 with wraparound (mod 2^64) semantics — NumPy array
+ops on uint64 wrap natively; we pin that behavior with explicit dtypes and an
+errstate guard, and tests assert wraparound explicitly (SURVEY.md §7 hard
+part 4).
+
+Design notes
+------------
+- Shingles are character k-grams of the (utf-8 encoded) joined document,
+  hashed with an O(n) polynomial rolling hash (prefix-sum + modular-inverse
+  trick so the whole doc is one vectorized pass, no Python loop over
+  positions), then whitened with a splitmix64 finalizer.
+- MinHash uses the multiply-shift family h_s(x) = (a_s * x + b_s) mod 2^64
+  with odd a_s — a bijection on Z_2^64, so min over it is a valid minwise
+  hash.  Signatures for a whole batch of docs are computed with ONE
+  np.minimum.reduceat over the concatenated shingle-hash array per slot
+  chunk — no per-doc Python loop.
+- All parameters derive from DedupConfig.seed via numpy default_rng, so the
+  sketch is deterministic across runs/processes (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = (1 << 64) - 1
+
+# odd base for the polynomial rolling hash (fixed; tied to splitmix64's
+# golden-ratio constant, but any odd constant works)
+_POLY_BASE = np.uint64(0x9E3779B97F4A7C15)
+# modular inverse of _POLY_BASE mod 2^64 (exists because the base is odd)
+_POLY_BASE_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a public-domain 64-bit mixer."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, dtype=U64).copy()
+        x ^= x >> U64(30)
+        x *= U64(0xBF58476D1CE4E5B9)
+        x ^= x >> U64(27)
+        x *= U64(0x94D049BB133111EB)
+        x ^= x >> U64(31)
+    return x
+
+
+def hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-shift parameters: a odd, shape (num_perm,) each.
+
+    Deterministic from seed — the sketcher actor builds these once in
+    __init__ (stateful stage ST1, SURVEY.md §2.3)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, _MASK64, size=num_perm, dtype=U64, endpoint=True) | U64(1)
+    b = rng.integers(0, _MASK64, size=num_perm, dtype=U64, endpoint=True)
+    return a, b
+
+
+def shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Unique uint64 hashes of all character k-grams (over utf-8 bytes) of
+    ``data``. Returns at least one hash (hash of the whole doc) so empty /
+    short docs still sketch.
+
+    O(n) vectorized rolling polynomial hash:
+      h[i] = sum_{j<k} c[i+j] * p^(k-1-j)  (mod 2^64)
+    computed as p^(i+k-1) * (C[i+k] - C[i]) where C = cumsum(c * p^-i).
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = buf.size
+    if n < k or n == 0:
+        # degenerate doc: single shingle = whitened poly hash of whole buffer
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            c = buf.astype(U64) + U64(1)
+            p_pow = np.multiply.accumulate(
+                np.full(max(n, 1), _POLY_BASE, dtype=U64)
+            ) if n else np.array([], dtype=U64)
+            acc = U64((int((c * p_pow[::-1]).sum()) & _MASK64) if n else 0)
+        return splitmix64(np.array([acc], dtype=U64))
+
+    with np.errstate(over="ignore"):
+        c = buf.astype(U64) + U64(1)  # +1 so NUL bytes aren't absorbing
+        # p^-i for i in [0, n): cumulative product of the inverse base
+        pinv = np.empty(n, dtype=U64)
+        pinv[0] = U64(1)
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, _POLY_BASE_INV, dtype=U64), out=pinv[1:]
+            )
+        w = c * pinv
+        csum = np.empty(n + 1, dtype=U64)
+        csum[0] = U64(0)
+        np.cumsum(w, out=csum[1:])
+        # window sums in the p^-i domain
+        d = csum[k:] - csum[:-k]          # length n-k+1, wraps mod 2^64
+        # rescale: multiply by p^(i+k-1)
+        ppow = np.empty(n - k + 1, dtype=U64)
+        ppow[0] = U64(1)
+        if n - k > 0:
+            np.multiply.accumulate(
+                np.full(n - k, _POLY_BASE, dtype=U64), out=ppow[1:]
+            )
+        pk1 = U64(pow(0x9E3779B97F4A7C15, k - 1, 1 << 64))
+        h = d * ppow * pk1
+    return np.unique(splitmix64(h))
+
+
+def minhash_from_concat(
+    concat: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    slot_chunk: int = 16,
+) -> np.ndarray:
+    """MinHash signatures for a batch of docs in one vectorized pass.
+
+    concat:  all docs' shingle hashes concatenated, shape (M,) uint64
+    offsets: start index of each doc's run in concat, shape (n_docs,)
+             (every doc MUST have >= 1 shingle — shingle_hashes guarantees it)
+    a, b:    multiply-shift params, shape (S,)
+
+    Returns (n_docs, S) uint64. Memory is bounded by M * slot_chunk * 8 bytes
+    of temporary, so slot_chunk trades peak memory vs. fewer passes.
+    """
+    n_docs = offsets.size
+    S = a.size
+    sig = np.empty((n_docs, S), dtype=U64)
+    if concat.size == 0:
+        return sig
+    x = concat[:, None]
+    with np.errstate(over="ignore"):
+        for s0 in range(0, S, slot_chunk):
+            s1 = min(s0 + slot_chunk, S)
+            y = x * a[None, s0:s1] + b[None, s0:s1]   # (M, chunk) wraps
+            np.minimum.reduceat(y, offsets, axis=0, out=sig[:, s0:s1])
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int,
+                seed: int) -> np.ndarray:
+    """LSH band hashes: (n_docs, S) signatures -> (n_docs, b) uint64.
+
+    Band i's hash combines its r contiguous slots with a seeded splitmix64
+    chain, plus a per-band constant so identical slot-values in different
+    bands never collide by construction [spec BASELINE.json:6] "LSH band
+    hashing"."""
+    n, S = sig.shape
+    assert bands * rows_per_band == S, (bands, rows_per_band, S)
+    rng = np.random.default_rng(seed + 1)
+    band_const = rng.integers(0, _MASK64, size=bands, dtype=U64, endpoint=True)
+    cube = sig.reshape(n, bands, rows_per_band)
+    with np.errstate(over="ignore"):
+        h = np.broadcast_to(band_const[None, :], (n, bands)).copy()
+        for j in range(rows_per_band):
+            h = splitmix64(h ^ cube[:, :, j])
+    return h
+
+
+def doc_hash(texts: list[bytes]) -> np.ndarray:
+    """Exact-content hash per doc (uint64) for exact dedup (D1).
+
+    blake2b-8byte per doc: C-speed per call, deterministic, collision
+    probability ~2^-64 — fine for keep-first grouping; the keep-first group
+    stage can additionally compare lengths."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=U64)
+    for i, t in enumerate(texts):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t, digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def exact_jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Exact Jaccard over two UNIQUE-hash shingle sets (verify stage ST2)."""
+    inter = np.intersect1d(h1, h2, assume_unique=True).size
+    union = h1.size + h2.size - inter
+    return inter / union if union else 1.0
+
+
+def containment(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Shingle containment |A∩B| / min(|A|,|B|) — the ST3 pre-gate."""
+    inter = np.intersect1d(h1, h2, assume_unique=True).size
+    m = min(h1.size, h2.size)
+    return inter / m if m else 1.0

@@ -1,0 +1,19 @@
+"""Small Dataset utilities shared across stages."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+
+def rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
+    """Rename columns via a zero-copy Arrow map_batches.
+
+    ``Dataset.rename_columns`` assumes Arrow blocks and crashes on
+    pandas-backed blocks (e.g. groupby outputs of from_pandas datasets
+    [env ray 2.49.2]); this works for either."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,127 @@
+"""Brute-force exact-Jaccard oracle — the executable ground truth.
+
+SURVEY.md §0 "oracle substitution": the reference's bundled test sequences
+are unavailable, so the recall>=0.99 gate [spec BASELINE.json:14] is measured
+against brute-force exact Jaccard over the SAME shingle sets at the same
+(k, S, b, r) config — which is precisely what the reference's sketch
+estimates. This module is intentionally trivial and shares no engine code
+beyond the shingle definition (the contract under test's fixed point,
+FIXTURES.md §B).
+
+Scales to a few thousand conversations (test corpora); NOT a pipeline stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from miekki_ray.functions.hashing import shingle_hashes
+
+
+def reconstruct_docs_pandas(turns: pa.Table, role_sep: str = "\x1f",
+                            turn_sep: str = "\x1e") -> pd.DataFrame:
+    """Independent doc reconstruction: stable (conv_id, turn_idx) sort, then
+    role<sep>text pieces joined with turn_sep. Columns: conv_id, doc."""
+    df = turns.select(["conv_id", "turn_idx", "role", "text"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    df["piece"] = df["role"] + role_sep + df["text"]
+    docs = df.groupby("conv_id", sort=True)["piece"].agg(turn_sep.join)
+    return docs.reset_index().rename(columns={"piece": "doc"})
+
+
+def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
+                turn_sep: str = "\x1e") -> pd.DataFrame:
+    """All pairs with shingle intersection > 0, with their EXACT Jaccard and
+    containment. Columns: a, b, jaccard, containment (a < b)."""
+    docs = reconstruct_docs_pandas(turns, role_sep, turn_sep)
+    ids = docs["conv_id"].to_numpy()
+    sets = [shingle_hashes(d.encode("utf-8"), k) for d in docs["doc"]]
+    sizes = np.array([s.size for s in sets], dtype=np.int64)
+
+    # inverted index: shingle hash -> sorted doc indices sharing it
+    all_h = np.concatenate(sets)
+    all_d = np.repeat(np.arange(len(sets)), sizes)
+    order = np.argsort(all_h, kind="stable")
+    all_h, all_d = all_h[order], all_d[order]
+    # group boundaries of equal hashes
+    bounds = np.flatnonzero(np.concatenate(([True], all_h[1:] != all_h[:-1])))
+    bounds = np.append(bounds, all_h.size)
+
+    pair_keys: list[np.ndarray] = []
+    n = len(sets)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        d = np.sort(all_d[s:e])
+        ii, jj = np.triu_indices(m, k=1)
+        pair_keys.append(d[ii].astype(np.int64) * n + d[jj])
+    if not pair_keys:
+        return pd.DataFrame(columns=["a", "b", "jaccard", "containment"])
+    keys, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
+    ai, bi = keys // n, keys % n
+    inter = counts.astype(np.float64)
+    union = sizes[ai] + sizes[bi] - counts
+    jac = inter / union
+    cont = inter / np.minimum(sizes[ai], sizes[bi])
+    return pd.DataFrame({
+        "a": ids[ai], "b": ids[bi], "jaccard": jac, "containment": cont,
+    })
+
+
+class UnionFind:
+    """Trivial oracle union-find (path halving + size)."""
+
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id wins as root
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+
+def cluster_pairs(pairs: pd.DataFrame, all_ids: list[str]) -> pd.DataFrame:
+    """Connected components; cluster_id = min conv_id in component.
+    Columns: conv_id, cluster_id (every id gets a row; singletons map to
+    themselves)."""
+    uf = UnionFind()
+    for a, b in zip(pairs["a"], pairs["b"]):
+        uf.union(a, b)
+    # min-id root: find() roots are already min under the union rule above
+    # but do a second pass to be safe under arbitrary edge order
+    comp: dict[str, str] = {}
+    for cid in all_ids:
+        comp[cid] = uf.find(cid) if cid in uf.parent else cid
+    mins: dict[str, str] = {}
+    for cid, root in comp.items():
+        if root not in mins or cid < mins[root]:
+            mins[root] = cid
+    return pd.DataFrame({
+        "conv_id": list(comp.keys()),
+        "cluster_id": [mins[comp[c]] for c in comp],
+    }).sort_values("conv_id").reset_index(drop=True)
+
+
+def oracle_truth(turns: pa.Table, k: int, jaccard_threshold: float,
+                 role_sep: str = "\x1f", turn_sep: str = "\x1e"
+                 ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(true_pairs, true_clusters): pairs with exact J >= threshold, and the
+    connected components they induce over ALL conv_ids."""
+    pairs = exact_pairs(turns, k, role_sep, turn_sep)
+    dup = pairs[pairs["jaccard"] >= jaccard_threshold].reset_index(drop=True)
+    all_ids = sorted(set(pa.compute.unique(turns["conv_id"]).to_pylist()))
+    clusters = cluster_pairs(dup, all_ids)
+    return dup, clusters

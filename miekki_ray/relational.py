@@ -1,0 +1,210 @@
+"""Relational operator coverage over the driver testdata tables.
+
+SURVEY.md §5.4: "SQL-expressible ops (groupby counts, exact dedup
+keep-first, top-k, joins) get DuckDB oracles". Each function here takes
+``sf_dir`` and returns a Dataset / pandas DataFrame whose column NAMES match
+the paired oracle SQL in __ray_entry__.oracle_sql (driver hashes values
+after sorting columns by name).
+
+These exercise the same stage library the dedup engine uses (map_batches
+projections/filters, groupby-aggregate shuffles, hash joins, sort/limit) on
+generic tables — FIXTURES.md §A."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None
+          ) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- aggregates
+
+def lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: grouped sums/means with computed revenue column."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", rev)
+
+    out = (ds.map_batches(add_rev, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="n")))
+    return out
+
+
+def events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return (ds.groupby("event_type")
+            .aggregate(Count(alias_name="n"),
+                       Sum("value", alias_name="sum_value"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value")))
+
+
+def part_brand_top5(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand"])
+    return (ds.groupby("p_brand").aggregate(Count(alias_name="n"))
+            .sort(["n", "p_brand"], descending=[True, False]).limit(5))
+
+
+# ------------------------------------------------------------------- joins
+
+def orders_join_customer_top10(sf_dir: str):
+    """Hash join + grouped agg + top-k: 10 biggest customers by spend."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    spend = (orders.groupby("o_custkey")
+             .aggregate(Sum("o_totalprice", alias_name="total_spend"),
+                        Count(alias_name="n_orders")))
+    j = spend.join(cust, join_type="inner", num_partitions=8,
+                   on=("o_custkey",), right_on=("c_custkey",))
+    return (j.select_columns(["c_name", "total_spend", "n_orders"])
+            .sort(["total_spend", "c_name"], descending=[True, False])
+            .limit(10))
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set (J4 semi/anti idiom, SURVEY.md §2.4)."""
+    import ray
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    keys = set(
+        orders.unique("o_custkey"))
+    ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        have = _r.get(ref)
+        mask = ~np.isin(batch["c_custkey"].to_numpy(), have)
+        return batch.filter(pa.array(mask))
+
+    out = (cust.map_batches(anti, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .sort("c_custkey").to_pandas())
+    # an all-filtered result loses its schema through to_pandas; pin columns
+    if out.empty:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=str)})
+    return out
+
+
+def supplier_nation_region(sf_dir: str):
+    """Two-hop broadcast join through dimension tables (J3)."""
+    import ray
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    rmap_key = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    rmap = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((nmap, rmap_key, rmap))
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import ray as _r
+        nm, rk, rm = _r.get(ref)
+        nk = batch["s_nationkey"].to_pylist()
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"],
+            "s_name": batch["s_name"],
+            "n_name": pa.array([nm[k] for k in nk], type=pa.string()),
+            "r_name": pa.array([rm[rk[k]] for k in nk], type=pa.string()),
+        })
+
+    return sup.map_batches(attach, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("s_suppkey")
+
+
+# ------------------------------------------------- filters / project / sort
+
+def lineitem_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                "l_discount"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["l_quantity"], 45.0)
+        t = batch.filter(m)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev).select(
+            ["l_orderkey", "l_linenumber", "revenue"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True) \
+             .sort(["l_orderkey", "l_linenumber"])
+
+
+def orders_top20(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(20)
+
+
+def orders_by_month(sf_dir: str):
+    """Timestamp handling: orders per calendar month."""
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def month(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"])
+        m = pc.month(batch["o_orderdate"])
+        return pa.table({"y": pc.cast(y, pa.int32()),
+                         "m": pc.cast(m, pa.int32())})
+
+    return (ds.map_batches(month, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["y", "m"]).aggregate(Count(alias_name="n")))
+
+
+# ------------------------------------------------------- documents (dedup-ish)
+
+def documents_exact_keep_first(sf_dir: str):
+    """D1 on the documents table: keep min doc_id per identical text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+            .select_columns(["doc_id"]).sort("doc_id"))
+
+
+def documents_dup_clusters(sf_dir: str):
+    """Exact-dup cluster table: (doc_id, cluster_id = min doc_id of text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    reps = ds.groupby("text").aggregate(Min("doc_id", alias_name="cluster_id"))
+    j = ds.join(reps, join_type="inner", num_partitions=8,
+                on=("text",), right_on=("text",))
+    return j.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
+
+
+def documents_lang_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def documents_distinct_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    n = ds.unique("text")
+    return pd.DataFrame({"n_distinct": [len(n)]})
+
+
+def union_sources(sf_dir: str):
+    """D3 union: high-value orders ∪ priority orders, distinct count."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                 "o_orderpriority"])
+    hi = o.filter(expr="o_totalprice > 200000.0")
+    pri = o.filter(expr="o_orderpriority == '1-URGENT'")
+    u = hi.union(pri)
+    n = len(u.unique("o_orderkey"))
+    return pd.DataFrame({"n": [n]})

@@ -1,0 +1,52 @@
+"""Sources: transcript Parquet reader (S1) + schema contract.
+
+[spec BASELINE.json:15] input: Parquet table of multi-turn transcripts with
+columns (conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp). Column-pruned at the read (only the six spec
+columns leave storage — SURVEY.md 'prune at the read').
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+TURN_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+TURNS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+DOCS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("doc", pa.large_string()),
+    ("n_turns", pa.int32()),
+    ("doc_hash", pa.uint64()),
+])
+
+
+def read_transcripts(path: str | list[str],
+                     override_num_blocks: int | None = None
+                     ) -> ray.data.Dataset:
+    """Operator S1: read the turns table, projecting exactly the six spec
+    columns. Schema is asserted lazily by assert_turns_schema (stage
+    boundaries carry explicit schemas — SURVEY.md §1.3)."""
+    return ray.data.read_parquet(
+        path, columns=TURN_COLUMNS, override_num_blocks=override_num_blocks
+    )
+
+
+def assert_schema(ds: ray.data.Dataset, expected: pa.Schema) -> ray.data.Dataset:
+    """Cheap schema assertion at a stage boundary (names + types; allows
+    string/large_string interchange, which Arrow readers produce freely)."""
+    got = ds.schema()
+    names = list(got.names)
+    exp_names = list(expected.names)
+    if names != exp_names:
+        raise ValueError(f"schema mismatch: columns {names} != {exp_names}")
+    return ds

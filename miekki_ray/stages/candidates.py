@@ -1,0 +1,187 @@
+"""J1 + A1 — LSH bucket grouping → candidate pairs, with explicit skew
+handling (salting / splitting / pair caps).
+
+[spec BASELINE.json:6]: "LSH band hashing via groupby-aggregate shuffles to
+candidate buckets ... skewed LSH buckets are explicitly salted/split before
+the verify stage". SURVEY.md §4.2 is the design note.
+
+Flow:
+  band_rows (conv_id, doc_hash, bucket_key)
+    │ 1. partial per-batch bucket counts → tiny groupby-sum   (pre-aggregate)
+    │ 2. hot keys (count > bucket_cap) broadcast via ray.put
+    │ 3. salt stage: hot rows re-keyed bucket_key' = mix(key, doc_hash % s)
+    │ 4. groupby coarse part of bucket_key → vectorized pair emission per
+    │    partition (size-2 buckets fully vectorized; bigger buckets via
+    │    triu indices with a seeded pair-cap sample)
+    │ 5. pair distinct: groupby coarse part of pair-hash → unique + n_bands
+  pairs (a, b, n_bands)
+
+The per-bucket pair cap bounds worst-case O(m²) blowup; a pair lost to the
+cap in one band still meets in the other b-1 bands (recall accounting in
+metrics keeps this honest — SURVEY.md §4.2 (3)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import splitmix64
+
+U64 = np.uint64
+
+
+def bucket_sizes(band_rows: ray.data.Dataset, cfg: DedupConfig
+                 ) -> ray.data.Dataset:
+    """Per-bucket row counts via partial per-batch pre-aggregation, so the
+    wide groupby only shuffles (key, partial_count) rows (ray_guide
+    'Aggregation at scale')."""
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(batch["bucket_key"].to_numpy(),
+                                 return_counts=True)
+        return pa.table({
+            "bucket_key": pa.array(keys, type=pa.int64()),
+            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    return (band_rows.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("bucket_key")
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def hot_bucket_keys(band_rows: ray.data.Dataset, cfg: DedupConfig
+                    ) -> np.ndarray:
+    """Sorted uint64 array of bucket keys whose size exceeds bucket_cap.
+    Small by construction (only mega-buckets qualify) → safe to collect."""
+    sizes = bucket_sizes(band_rows, cfg)
+    hot = sizes.filter(expr=f"n > {cfg.bucket_cap}")
+    tbl = hot.to_pandas()
+    if len(tbl) == 0 or "bucket_key" not in tbl.columns:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(tbl["bucket_key"].to_numpy(dtype=np.int64))
+
+
+def salt_hot_buckets(band_rows: ray.data.Dataset, hot_keys: np.ndarray,
+                     cfg: DedupConfig) -> ray.data.Dataset:
+    """Re-key rows in hot buckets: bucket_key' = mix(key + salt+1) where
+    salt = doc_hash % salt_factor. Splits a mega-bucket into salt_factor
+    sub-buckets spread across shuffle partitions [spec BASELINE.json:6]."""
+    if hot_keys.size == 0:
+        return band_rows
+    hot_ref = ray.put(hot_keys)
+    s = U64(cfg.salt_factor)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        keys = batch["bucket_key"].to_numpy()          # int64 view
+        is_hot = np.isin(keys, hot, assume_unique=False)
+        if not is_hot.any():
+            return batch
+        dh = batch["doc_hash"].to_numpy()
+        with np.errstate(over="ignore"):
+            salted = splitmix64(keys.view(U64) + (dh % s) + U64(1))
+        new_keys = np.where(is_hot, salted.view(np.int64), keys)
+        return batch.set_column(
+            batch.schema.get_field_index("bucket_key"), "bucket_key",
+            pa.array(new_keys, type=pa.int64()))
+
+    return band_rows.map_batches(salt, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def _emit_pairs_partition(cfg: DedupConfig):
+    pair_cap = cfg.pair_cap
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.sort_values("bucket_key", kind="mergesort")
+        keys = t["bucket_key"].to_numpy(dtype=np.int64)
+        ids = t["conv_id"].to_numpy(dtype=object)
+        change = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        bounds = np.append(change, keys.size)
+        sizes = np.diff(bounds)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        # size-2 buckets: fully vectorized (the overwhelming majority)
+        two = np.flatnonzero(sizes == 2)
+        if two.size:
+            s0 = bounds[two]
+            x, y = ids[s0], ids[s0 + 1]
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            neq = lo != hi
+            out_a.append(lo[neq])
+            out_b.append(hi[neq])
+        # larger buckets: triu pairs, capped with a seeded sample
+        for gi in np.flatnonzero(sizes > 2):
+            s, e = bounds[gi], bounds[gi] + sizes[gi]
+            members = np.unique(ids[s:e].astype(str))
+            m = members.size
+            if m < 2:
+                continue
+            n_pairs = m * (m - 1) // 2
+            ii, jj = np.triu_indices(m, k=1)
+            if n_pairs > pair_cap:
+                rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
+                pick = rng.choice(n_pairs, size=pair_cap, replace=False)
+                ii, jj = ii[pick], jj[pick]
+            out_a.append(members[ii])
+            out_b.append(members[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    return emit
+
+
+def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig
+                    ) -> ray.data.Dataset:
+    """Full J1+A1: salt → bucket pairs → distinct with n_bands count.
+    Shuffle #2 (bucket_key) + shuffle #3 (pair key)."""
+    hot = hot_bucket_keys(band_rows, cfg)
+    salted = salt_hot_buckets(band_rows, hot, cfg)
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["bucket_key"].to_numpy().view(np.uint64)
+                % U64(P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    parted = salted.map_batches(add_part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    raw_pairs = parted.groupby("_part").map_groups(
+        _emit_pairs_partition(cfg), batch_format="pandas")
+    return distinct_pairs(raw_pairs, cfg)
+
+
+def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
+                   ) -> ray.data.Dataset:
+    """A1 — dedupe (a,b) and count how many buckets agreed (n_bands)."""
+    P = cfg.num_partitions
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch["_part"] = pd.Series([], dtype=np.int32)
+            return batch
+        h = pd.util.hash_pandas_object(
+            batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
+            index=False).to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_part"] = (h % U64(P)).astype(np.int32)
+        return batch
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby(["a", "b"], sort=False).size()
+             .reset_index(name="n_bands"))
+        g["n_bands"] = g["n_bands"].astype(np.int32)
+        return g[["a", "b", "n_bands"]]
+
+    return (raw_pairs.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(uniq, batch_format="pandas"))

@@ -1,0 +1,183 @@
+"""ST4 — union-find connected-component clustering.
+
+[spec BASELINE.json:6]: "union-find connected-component clustering ...
+matching the reference's cluster assignments". Cluster id = MIN conv_id in
+the component, making output deterministic and keyed (SURVEY.md §4.2).
+
+Two interchangeable implementations behind one interface (SURVEY.md §4.3):
+
+- ``cluster_edges_driver``: edges collected to the driver, array union-find
+  with path compression. Correct up to ~10^7 edges — edge volume is tiny
+  relative to the corpus (only verified duplicates).
+- ``cluster_edges_distributed``: iterative hash-min label propagation as
+  repeated groupby-min shuffles (Kiveris et al. 2014 [public]) — the
+  10^12-turn scale path; O(log diameter) rounds, and dup-cluster diameters
+  are small in practice. Tests assert both yield identical assignments.
+
+The final assignment maps EVERY doc: docs not in any edge are their own
+singleton cluster. The component map (only docs that appear in edges) is
+broadcast via ray.put — it is orders of magnitude smaller than the corpus —
+and applied in a map_batches (broadcast join idiom J3, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from miekki_ray.config import DedupConfig
+
+
+def _unionfind_pandas(edges: pd.DataFrame) -> dict[str, str]:
+    """conv_id -> cluster_id (= component-min conv_id) for ids in edges."""
+    ids = pd.unique(pd.concat([edges["a"], edges["b"]], ignore_index=True))
+    ids = np.sort(ids.astype(str))
+    index = {c: i for i, c in enumerate(ids)}
+    parent = np.arange(ids.size, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ai = edges["a"].map(index).to_numpy()
+    bi = edges["b"].map(index).to_numpy()
+    for x, y in zip(ai, bi):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # ids sorted => smaller index == smaller conv_id: keep min as root
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    roots = np.array([find(i) for i in range(ids.size)])
+    return {ids[i]: ids[roots[i]] for i in range(ids.size)}
+
+
+def cluster_edges_driver(edges: ray.data.Dataset) -> dict[str, str]:
+    df = edges.select_columns(["a", "b"]).to_pandas()
+    if len(df) == 0:
+        return {}
+    return _unionfind_pandas(df)
+
+
+def _label_fingerprint(labels: ray.data.Dataset) -> int:
+    """Order-invariant content fingerprint: sum mod 2^64 of per-row hashes
+    of (node, label). One tiny aggregate, no shuffle."""
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.util.hash_pandas_object(
+            pd.Series(batch["node"].to_pylist()).astype(str) + "\x00"
+            + pd.Series(batch["label"].to_pylist()).astype(str),
+            index=False).to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            acc = np.uint64(s.sum())
+        return pa.table({"fp": pa.array([int(acc)], type=pa.uint64())})
+
+    parts = labels.map_batches(partial, batch_format="pyarrow").take_all()
+    return sum(int(r["fp"]) for r in parts) % (1 << 64)
+
+
+def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
+                              max_rounds: int = 50) -> dict[str, str]:
+    """Hash-min label propagation entirely in Ray Data groupby-min shuffles.
+
+    labels(v) starts as min(v, neighbors); each round propagates the min
+    label across edges until fixpoint. Returns the same conv_id->cluster_id
+    map as the driver variant (only for ids appearing in edges).
+
+    The per-round state is a (node, label) Dataset — never the corpus — so
+    this scales with the number of DUPLICATE docs, not corpus size. The
+    fixpoint check is a tiny aggregate per round.
+    """
+    from ray.data.aggregate import Min
+
+    P = cfg.num_partitions
+    e = edges.select_columns(["a", "b"]).materialize()
+    if e.count() == 0:
+        return {}
+
+    # symmetric edge list (node, other, is_label=False) — static per run
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        node = a + b
+        other = b + a
+        return pa.table({
+            "node": pa.array(node, type=pa.string()),
+            "other": pa.array(other, type=pa.string()),
+            "is_label": pa.array([False] * len(node), type=pa.bool_()),
+        })
+
+    edges_sym = e.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "other": batch["node"],     # label := self
+            "is_label": pa.array([True] * batch.num_rows, type=pa.bool_()),
+        })
+
+    cand = edges_sym.map_batches(init_labels, batch_format="pyarrow")
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["node"].astype(str),
+                                       index=False).to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_part"] = (h % np.uint64(P)).astype(np.int32)
+        return batch
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        """One hash-min step over a partition: per node, current label =
+        min over its label rows; re-emit (node,label) + (peer,label)."""
+        lab = (group[group["is_label"]].groupby("node")["other"].min())
+        ed = group[~group["is_label"]]
+        peer_lab = ed["node"].map(lab)
+        out_node = pd.concat(
+            [lab.index.to_series(), ed["other"]], ignore_index=True)
+        out_label = pd.concat(
+            [lab.reset_index(drop=True), peer_lab.reset_index(drop=True)],
+            ignore_index=True)
+        return pd.DataFrame({
+            "node": out_node.astype(str),
+            "other": out_label.astype(str),
+            "is_label": True,
+        })
+
+    fp_prev = None
+    for _ in range(max_rounds):
+        mixed = edges_sym.union(cand)
+        cand = (mixed.map_batches(add_part, batch_format="pandas")
+                .groupby("_part")
+                .map_groups(propagate, batch_format="pandas")
+                .materialize())
+        fp = _label_fingerprint(
+            cand.groupby("node").aggregate(Min("other", alias_name="label")))
+        if fp == fp_prev:
+            break
+        fp_prev = fp
+    out = (cand.groupby("node").aggregate(Min("other", alias_name="label"))
+           .to_pandas())
+    return dict(zip(out["node"].astype(str), out["label"].astype(str)))
+
+
+def assign_clusters(docs: ray.data.Dataset, comp_map: dict[str, str]
+                    ) -> ray.data.Dataset:
+    """Broadcast the (small) component map; every doc gets cluster_id =
+    map.get(conv_id, conv_id). Output: conv_id, cluster_id, is_rep."""
+    ref = ray.put(comp_map)
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch["conv_id"].to_pylist()
+        cl = [m.get(c, c) for c in ids]
+        return pa.table({
+            "conv_id": pa.array(ids, type=pa.string()),
+            "cluster_id": pa.array(cl, type=pa.string()),
+            "is_rep": pa.array([c == k for c, k in zip(ids, cl)],
+                               type=pa.bool_()),
+        })
+
+    return docs.select_columns(["conv_id"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,100 @@
+"""O1 — conversation reconstruction: turns → documents.
+
+The spec's "stable (conv_id, turn_idx) sort-merge so per-turn text equality
+holds" [spec BASELINE.json:6,15]. Idiomatic Ray Data rendering (SURVEY.md
+§2.6 O1): we do NOT run a global sort. Turns are hash-partitioned by conv_id
+(shuffle #1), and each partition is sorted and assembled in ONE vectorized
+pass over ALL its conversations — no per-conversation Python task.
+
+Why groupby("_part") instead of groupby("conv_id").map_groups: Ray calls the
+map_groups fn once per group; at 10^9 conversations that is 10^9 Python
+calls. Grouping by a coarse partition key (hash(conv_id) % P) gives P calls,
+each assembling its whole partition vectorized. Same shuffle semantics
+(all rows of a conv meet in one partition), ~1000x less call overhead.
+
+Output schema: conv_id, doc (large_string), n_turns, doc_hash (uint64).
+doc = role<role_sep>text joined with turn_sep in turn_idx order — raw
+`text`, byte-exact (the invariant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import doc_hash
+
+
+def _fnv1a_batch(ids: list[str], num_partitions: int) -> np.ndarray:
+    """Deterministic FNV-1a over utf-8 bytes, vectorized over the batch by
+    padding to a fixed-width uint8 matrix (conv ids are short)."""
+    n = len(ids)
+    enc = [s.encode("utf-8") for s in ids]
+    maxw = max((len(b) for b in enc), default=1)
+    mat = np.zeros((n, maxw), dtype=np.uint64)
+    lens = np.empty(n, dtype=np.int64)
+    for i, b in enumerate(enc):
+        lens[i] = len(b)
+        mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxw):
+            live = lens > j
+            acc[live] = (acc[live] ^ mat[live, j]) * prime
+    return (acc % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _assemble(cfg: DedupConfig):
+    role_sep, turn_sep, cap = cfg.role_sep, cfg.turn_sep, cfg.doc_len_cap
+
+    def assemble(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        pieces = pc.binary_join_element_wise(
+            pc.cast(t["role"], pa.large_string()),
+            pc.cast(t["text"], pa.large_string()),
+            pa.scalar(role_sep, type=pa.large_string()),
+        )
+        ids = t["conv_id"].to_numpy(zero_copy_only=False)
+        piece_list = pieces.to_pylist()
+        # conversation boundaries in the sorted table
+        change = np.flatnonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1])))
+        bounds = np.append(change, len(ids))
+        out_ids: list[str] = []
+        out_docs: list[str] = []
+        out_nturns = np.empty(len(change), dtype=np.int32)
+        for gi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+            out_ids.append(ids[s])
+            d = turn_sep.join(piece_list[s:e])
+            if len(d) > cap:           # §7 hard part 5: cap very wide docs
+                d = d[:cap]
+            out_docs.append(d)
+            out_nturns[gi] = e - s
+        dh = doc_hash([d.encode("utf-8") for d in out_docs])
+        return pa.table({
+            "conv_id": pa.array(out_ids, type=pa.string()),
+            "doc": pa.array(out_docs, type=pa.large_string()),
+            "n_turns": pa.array(out_nturns, type=pa.int32()),
+            "doc_hash": pa.array(dh, type=pa.uint64()),
+        })
+
+    return assemble
+
+
+def reconstruct_docs(ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    """turns → docs. Shuffle #1 (key: conv_id via coarse hash partition)."""
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = _fnv1a_batch(batch["conv_id"].to_pylist(), P)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    parted = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
+               .map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return parted.groupby("_part").map_groups(
+        _assemble(cfg), batch_format="pyarrow")

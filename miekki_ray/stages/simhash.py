@@ -1,0 +1,124 @@
+"""M6 — SimHash signatures (the spec's alternative sketch family).
+
+[spec BASELINE.json:14] lists "MinHash/SimHash/suffix-array substring" as
+the method menu. 64-bit SimHash (Charikar 2002 [public]): each shingle
+hash votes ±1 on each of 64 bit positions; the signature bit is the vote
+sign. Hamming distance between signatures tracks cosine similarity of the
+shingle sets. Same actor-pool shape as the MinHash sketcher (SURVEY.md
+§2.2 M6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import shingle_hashes
+
+
+def simhash_from_hashes(h: np.ndarray) -> np.uint64:
+    """64-bit simhash of a set of uint64 shingle hashes (vectorized)."""
+    if h.size == 0:
+        return np.uint64(0)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1))
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - h.size
+    sig = np.uint64(0)
+    for j in np.flatnonzero(votes > 0):
+        sig |= np.uint64(1) << np.uint64(j)
+    return sig
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise Hamming distance between uint64 arrays (popcount)."""
+    x = a ^ b
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    while np.any(x):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+class SimHasher:
+    """Actor-pool UDF: docs batch -> + simhash:uint64 column."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.cfg.k
+        sigs = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, d in enumerate(batch["doc"].to_pylist()):
+            sigs[i] = simhash_from_hashes(shingle_hashes(d.encode("utf-8"), k))
+        return batch.append_column("simhash",
+                                   pa.array(sigs, type=pa.uint64()))
+
+
+def simhash_docs(docs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    return docs.map_batches(
+        SimHasher,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.sketch_batch_size,
+        concurrency=cfg.sketch_concurrency,
+    )
+
+
+def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
+                       max_hamming: int = 3) -> ray.data.Dataset:
+    """Near-dup candidates by SimHash: 4×16-bit band blocking (two docs
+    within Hamming distance 3 of 64 bits share at least one of 4 16-bit
+    blocks — pigeonhole), then exact Hamming filter per block group."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].to_numpy()
+        n = sig.size
+        blocks = []
+        for j in range(4):
+            blocks.append(((sig >> np.uint64(16 * j))
+                           & np.uint64(0xFFFF)).astype(np.int64)
+                          + (j << 16))
+        key = np.concatenate(blocks)
+        ids = np.tile(batch["conv_id"].to_numpy(zero_copy_only=False), 4)
+        sigs4 = np.tile(sig, 4)
+        return pa.table({
+            "block_key": pa.array(key, type=pa.int64()),
+            "conv_id": pa.array(ids, type=pa.string()),
+            "simhash": pa.array(sigs4, type=pa.uint64()),
+        })
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["block_key", "conv_id"], kind="mergesort")
+        out_a, out_b = [], []
+        for _, grp in g.groupby("block_key", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp["conv_id"].to_numpy(dtype=object)
+            sigs = grp["simhash"].to_numpy(dtype=np.uint64)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            hd = hamming64(sigs[ii], sigs[jj])
+            keep = hd <= max_hamming
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str)})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)}) \
+            .drop_duplicates()
+
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["block_key"].to_numpy() % P).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    return (simmed.map_batches(explode, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part").map_groups(emit, batch_format="pandas"))

@@ -1,0 +1,112 @@
+"""M5/ST1 — the MinHash sketcher actor pool, and M7 — band explode.
+
+[spec BASELINE.json:6]: "per-conversation k-shingle MinHash signatures
+computed in map_batches over zero-copy Arrow batches (vectorized 64-bit
+multiply-shift hashing in NumPy inside an actor pool)".
+
+Sketcher is a callable CLASS → Ray actor pool: the (S,2) multiply-shift
+parameter matrix is built ONCE per actor in __init__ from the config seed
+(stateful stage ST1, SURVEY.md §2.3); __call__ sketches a whole Arrow batch
+with one np.minimum.reduceat pass (functions/hashing.py).
+
+Band explode emits b rows per doc with a single uint64 bucket_key =
+mix(band_id, band_hash) — the idiomatic rendering of Miekki's per-slot index
+partitions as a groupby shuffle key [spec BASELINE.json:6]. The band-row
+schema is minimal (conv_id, doc_hash, bucket_key): no doc text ever crosses
+the LSH shuffle (SURVEY.md §4.2 memory note).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import (
+    band_hashes,
+    hash_params,
+    minhash_from_concat,
+    shingle_hashes,
+)
+
+
+class Sketcher:
+    """Actor-pool UDF: docs batch -> + sig (fixed_size_list<uint64, S>),
+    n_shingles."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.a, self.b = hash_params(cfg.num_perm, cfg.seed)  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        docs = batch["doc"].to_pylist()
+        sets = [shingle_hashes(d.encode("utf-8"), cfg.k) for d in docs]
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+        if docs:
+            concat = np.concatenate(sets)
+            offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+            sig = minhash_from_concat(concat, offsets, self.a, self.b)
+        else:
+            sig = np.empty((0, cfg.num_perm), dtype=np.uint64)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perm)
+        out = batch.append_column("sig", sig_col)
+        return out.append_column(
+            "n_shingles", pa.array(sizes.astype(np.int32), type=pa.int32()))
+
+
+def sketch_docs(docs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+    return docs.map_batches(
+        Sketcher,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.sketch_batch_size,
+        concurrency=cfg.sketch_concurrency,
+    )
+
+
+def _sig_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
+    col = batch["sig"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+
+
+def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
+                 ) -> ray.data.Dataset:
+    """sig → b band rows per doc (Arrow-native explode inside map_batches —
+    cheaper than per-row flat_map, SURVEY.md §2.2 M7)."""
+    b_, r_, seed = cfg.bands, cfg.rows_per_band, cfg.seed
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = _sig_matrix(batch, cfg.num_perm)
+        bh = band_hashes(sig, b_, r_, seed)          # (n, b)
+        band_ids = np.tile(np.arange(b_, dtype=np.uint64), n)
+        from miekki_ray.functions.hashing import splitmix64
+        with np.errstate(over="ignore"):
+            bucket = splitmix64(bh.ravel()
+                                + band_ids * np.uint64(0x9E3779B97F4A7C15))
+        conv = pc_take_repeat(batch["conv_id"], n, b_)
+        dh = np.repeat(batch["doc_hash"].to_numpy(), b_)
+        # NOTE: bucket_key is the uint64 hash REINTERPRETED as int64 (same
+        # bits) — Ray Data's sort/groupby handles int64 keys natively but
+        # falls back to slow pickled-object arrays for uint64 values > 2^63.
+        return pa.table({
+            "conv_id": conv,
+            "doc_hash": pa.array(dh, type=pa.uint64()),
+            "bucket_key": pa.array(bucket.view(np.int64), type=pa.int64()),
+        })
+
+    return sketched.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+def pc_take_repeat(col: pa.ChunkedArray | pa.Array, n: int, times: int):
+    """repeat each element `times` times via a take (Arrow-native)."""
+    import pyarrow.compute as pc
+    idx = np.repeat(np.arange(n, dtype=np.int64), times)
+    return pc.take(col, pa.array(idx))

@@ -1,0 +1,138 @@
+"""ST2 exact-Jaccard verification (+ J2 doc-text lookup, + ST3 containment).
+
+[spec BASELINE.json:6]: "exact Jaccard verification" then "a suffix-array
+substring stage for exact near-containment". Precision of verified edges is
+1.0 by construction — the verifier recomputes the true shingle sets and the
+true Jaccard; the MinHash estimate only ever *proposes* pairs.
+
+J2: pairs (a, b) are joined to doc texts with Ray's hash-shuffle
+``Dataset.join`` (ray 2.49 [env]) on a then b — both sides large, so a
+broadcast is wrong at 10^12-turn scale (SURVEY.md §2.4 J2).
+
+Verifier is an actor pool; per batch it shingles each UNIQUE doc once
+(docs repeat across pairs) and compares sorted uint64 hash sets with
+np.intersect1d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import shingle_hashes
+from miekki_ray.functions.suffix import containment_ratio
+
+
+VERIFIED_SCHEMA = pa.schema([
+    ("a", pa.string()), ("b", pa.string()), ("n_bands", pa.int32()),
+    ("jaccard", pa.float64()), ("containment", pa.float64()),
+    ("lcs_ratio", pa.float64()), ("verified", pa.bool_()),
+    ("contained", pa.bool_()),
+])
+
+
+def empty_verified() -> ray.data.Dataset:
+    """Schema-correct empty verify output (a corpus can have zero candidate
+    pairs; empty blocks lose their schema through groupby shuffles [env])."""
+    return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
+
+
+def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                cfg: DedupConfig) -> ray.data.Dataset:
+    """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
+    Shuffle #4: hash join on a, then on b."""
+    from miekki_ray.functions.util import rename
+    slim = docs.select_columns(["conv_id", "doc"])
+    P = cfg.num_partitions
+    j1 = pairs.join(slim, join_type="inner", num_partitions=P,
+                    on=("a",), right_on=("conv_id",))
+    j1 = rename(j1, {"doc": "doc_a"})
+    j2 = j1.join(slim, join_type="inner", num_partitions=P,
+                 on=("b",), right_on=("conv_id",))
+    return rename(j2, {"doc": "doc_b"})
+
+
+class Verifier:
+    """Actor-pool UDF for ST2(+ST3 gate): exact Jaccard + shingle
+    containment per candidate pair; suffix-array LCS containment for pairs
+    that fail Jaccard but pass the containment pre-gate."""
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        doc_a = batch["doc_a"].to_pylist()
+        doc_b = batch["doc_b"].to_pylist()
+        n = len(a_ids)
+        # shingle each unique doc once per batch
+        cache: dict[str, np.ndarray] = {}
+        enc: dict[str, bytes] = {}
+
+        def hset(cid: str, doc: str) -> np.ndarray:
+            h = cache.get(cid)
+            if h is None:
+                e = doc.encode("utf-8")
+                enc[cid] = e
+                h = shingle_hashes(e, cfg.k)
+                cache[cid] = h
+            return h
+
+        jac = np.empty(n, dtype=np.float64)
+        cont = np.empty(n, dtype=np.float64)
+        lcs = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            ha = hset(a_ids[i], doc_a[i])
+            hb = hset(b_ids[i], doc_b[i])
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            jac[i] = inter / union if union else 1.0
+            m = min(ha.size, hb.size)
+            cont[i] = inter / m if m else 1.0
+        verified = jac >= cfg.jaccard_threshold
+        if cfg.containment_enabled:
+            # ST3: only pairs failing Jaccard but passing the shingle
+            # containment pre-gate pay for the suffix-array LCS
+            for i in np.flatnonzero(~verified
+                                    & (cont >= cfg.containment_threshold)):
+                ea, eb = enc[a_ids[i]], enc[b_ids[i]]
+                short, long_ = (ea, eb) if len(ea) <= len(eb) else (eb, ea)
+                lcs[i] = containment_ratio(short, long_)
+        return pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "n_bands": batch["n_bands"],
+            "jaccard": pa.array(jac, type=pa.float64()),
+            "containment": pa.array(cont, type=pa.float64()),
+            "lcs_ratio": pa.array(lcs, type=pa.float64()),
+            "verified": pa.array(verified, type=pa.bool_()),
+            "contained": pa.array(
+                cfg.containment_enabled
+                & (lcs >= cfg.containment_lcs_ratio), type=pa.bool_()),
+        })
+
+
+def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
+                 ) -> ray.data.Dataset:
+    return pairs_with_docs.map_batches(
+        Verifier,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=cfg.verify_batch_size,
+        concurrency=cfg.sketch_concurrency,
+    )
+
+
+def edges_from_verified(verified: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep rows that are duplicate edges (Jaccard OR containment), tag kind."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch[batch["verified"] | batch["contained"]].copy()
+        keep["kind"] = np.where(keep["verified"], "jaccard", "containment")
+        return keep[["a", "b", "kind"]]
+    return verified.map_batches(f, batch_format="pandas")

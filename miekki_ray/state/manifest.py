@@ -1,0 +1,132 @@
+"""S3 — stage checkpointing: per-partition lineage manifests + resume.
+
+[spec BASELINE.json:14]: "resumable from checkpoint with per-partition
+lineage + metrics". Ray Data has no cross-run resume [env], so this is
+explicit design (SURVEY.md §3.3):
+
+  out/<stage>/part-*.parquet        stage output (partitioned, never one file)
+  out/<stage>/_MANIFEST.json        validity proof, written LAST, atomically
+
+A manifest records: stage name, engine config hash, upstream manifest hash,
+per-file row counts (the per-partition lineage), total rows, and free-form
+metrics. A stage output is reusable iff its manifest exists, parses, and its
+config/upstream hashes match — crash between data write and manifest write
+⇒ the stage simply re-runs (manifest-last discipline, §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+import ray.data
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def _manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MANIFEST_NAME)
+
+
+def manifest_hash(stage_dir: str) -> str | None:
+    """Content hash of a stage's manifest (used as downstream upstream_hash)."""
+    p = _manifest_path(stage_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return hashlib.blake2b(f.read(), digest_size=16).hexdigest()
+
+
+def manifest_valid(stage_dir: str, config_hash: str,
+                   upstream_hash: str | None) -> bool:
+    p = _manifest_path(stage_dir)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    if m.get("config_hash") != config_hash:
+        return False
+    if upstream_hash is not None and m.get("upstream_hash") != upstream_hash:
+        return False
+    # per-partition check: every listed file still on disk
+    for part in m.get("partitions", []):
+        if not os.path.exists(os.path.join(stage_dir, part["file"])):
+            return False
+    return True
+
+
+def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
+                config_hash: str, upstream_hash: str | None = None,
+                metrics: dict | None = None) -> str:
+    """Write stage output + manifest (manifest LAST, atomic tmp+rename).
+    Returns the stage directory."""
+    stage_dir = os.path.join(out_dir, stage)
+    os.makedirs(stage_dir, exist_ok=True)
+    # clear any previous attempt's data AND manifest: write_parquet appends
+    # part files, and a stale manifest must not validate the mixed output
+    for f in os.listdir(stage_dir):
+        if f.endswith(".parquet") or f == MANIFEST_NAME:
+            os.unlink(os.path.join(stage_dir, f))
+    ds.write_parquet(stage_dir)
+    # per-partition lineage: row count per written file
+    import pyarrow.parquet as pq
+    parts = []
+    total = 0
+    for f in sorted(os.listdir(stage_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        n = pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
+        parts.append({"file": f, "rows": n})
+        total += n
+    manifest = {
+        "stage": stage,
+        "config_hash": config_hash,
+        "upstream_hash": upstream_hash,
+        "partitions": parts,
+        "total_rows": total,
+        "metrics": metrics or {},
+    }
+    fd, tmp = tempfile.mkstemp(dir=stage_dir, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(stage_dir))   # atomic
+    return stage_dir
+
+
+def read_stage(stage_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(stage_dir)
+
+
+def read_manifest(stage_dir: str) -> dict:
+    with open(_manifest_path(stage_dir)) as f:
+        return json.load(f)
+
+
+class StageRunner:
+    """Resume-aware sequential runner: each stage is (name, fn) where fn
+    maps the upstream Dataset to the stage's Dataset. If the stage's
+    manifest validates against (config_hash, upstream manifest hash) the
+    stage is SKIPPED and its parquet read back (SURVEY.md §3.3)."""
+
+    def __init__(self, out_dir: str, config_hash: str):
+        self.out_dir = out_dir
+        self.config_hash = config_hash
+        self.ran: list[str] = []
+        self.skipped: list[str] = []
+
+    def run(self, stage: str, fn, upstream_dir: str | None = None
+            ) -> tuple[ray.data.Dataset, str]:
+        stage_dir = os.path.join(self.out_dir, stage)
+        up_hash = manifest_hash(upstream_dir) if upstream_dir else None
+        if manifest_valid(stage_dir, self.config_hash, up_hash):
+            self.skipped.append(stage)
+            return read_stage(stage_dir), stage_dir
+        ds = fn()
+        write_stage(ds, self.out_dir, stage, self.config_hash, up_hash)
+        self.ran.append(stage)
+        return read_stage(stage_dir), stage_dir

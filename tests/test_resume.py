@@ -1,0 +1,122 @@
+"""M6 resume: manifest-validated stage skipping (SURVEY.md §3.3, §5.5)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from miekki_ray.state.manifest import (
+    StageRunner,
+    manifest_valid,
+    read_manifest,
+    write_stage,
+)
+
+
+def _ds(n=10):
+    return ray.data.from_arrow(pa.table({
+        "x": pa.array(list(range(n)), type=pa.int64())}))
+
+
+def test_write_stage_manifest(tmp_path):
+    d = write_stage(_ds(), str(tmp_path), "s1", "cfg123")
+    m = read_manifest(d)
+    assert m["total_rows"] == 10
+    assert m["config_hash"] == "cfg123"
+    assert all(os.path.exists(os.path.join(d, p["file"]))
+               for p in m["partitions"])
+    assert manifest_valid(d, "cfg123", None)
+    assert not manifest_valid(d, "OTHER", None)
+
+
+def test_runner_skips_valid_stage(tmp_path):
+    calls = []
+
+    def make(tag):
+        def f():
+            calls.append(tag)
+            return _ds()
+        return f
+
+    r1 = StageRunner(str(tmp_path), "cfgA")
+    r1.run("docs", make("docs"))
+    r1.run("uniq", make("uniq"), upstream_dir=os.path.join(tmp_path, "docs"))
+    assert calls == ["docs", "uniq"]
+
+    # resume: nothing re-runs
+    r2 = StageRunner(str(tmp_path), "cfgA")
+    r2.run("docs", make("docs2"))
+    r2.run("uniq", make("uniq2"), upstream_dir=os.path.join(tmp_path, "docs"))
+    assert calls == ["docs", "uniq"]
+    assert r2.skipped == ["docs", "uniq"]
+
+
+def test_config_change_invalidates(tmp_path):
+    calls = []
+
+    def f():
+        calls.append(1)
+        return _ds()
+
+    StageRunner(str(tmp_path), "cfgA").run("s", f)
+    StageRunner(str(tmp_path), "cfgB").run("s", f)
+    assert len(calls) == 2
+
+
+def test_crash_before_manifest_reruns(tmp_path):
+    """Manifest-last discipline: data present but no manifest ⇒ re-run."""
+    d = write_stage(_ds(), str(tmp_path), "s", "cfg")
+    os.unlink(os.path.join(d, "_MANIFEST.json"))
+    calls = []
+
+    def f():
+        calls.append(1)
+        return _ds()
+
+    r = StageRunner(str(tmp_path), "cfg")
+    r.run("s", f)
+    assert calls == [1]
+    assert r.ran == ["s"]
+
+
+def test_upstream_change_invalidates(tmp_path):
+    d_up = write_stage(_ds(), str(tmp_path), "up", "cfg")
+    r = StageRunner(str(tmp_path), "cfg")
+    calls = []
+
+    def f():
+        calls.append(1)
+        return _ds()
+
+    r.run("down", f, upstream_dir=d_up)
+    # rewrite upstream (different content hash in manifest)
+    write_stage(_ds(5), str(tmp_path), "up", "cfg")
+    r2 = StageRunner(str(tmp_path), "cfg")
+    r2.run("down", f, upstream_dir=d_up)
+    assert len(calls) == 2
+
+
+def test_end_to_end_resume_identical(small_corpus, cfg, tmp_path):
+    """SURVEY §5.5: run, wipe one stage's manifest, re-run → final output
+    byte-identical; valid stages skipped."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from miekki_ray.pipelines.dedup import run_dedup
+
+    turns, _ = small_corpus
+    ds = ray.data.from_arrow(turns)
+    out = str(tmp_path / "run")
+    r1 = run_dedup(ds, cfg, out_dir=out)
+    c1 = r1.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert set(r1.metrics["ran"]) >= {"docs", "pairs", "clusters"}
+
+    # simulate crash in the verify stage: kill its manifest
+    os.unlink(os.path.join(out, "verified", "_MANIFEST.json"))
+    r2 = run_dedup(ds, cfg, out_dir=out)
+    c2 = r2.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert "docs" in r2.metrics["skipped"]
+    assert "verified" in r2.metrics["ran"]
+    pd.testing.assert_frame_equal(c1, c2)

@@ -1,0 +1,51 @@
+"""M6 SimHash: signature properties + candidate blocking."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.functions.hashing import shingle_hashes
+from miekki_ray.stages.simhash import (
+    hamming64,
+    simhash_candidates,
+    simhash_docs,
+    simhash_from_hashes,
+)
+
+
+def test_hamming64():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0010, 2**63], dtype=np.uint64)
+    assert list(hamming64(a, b)) == [2, 1]
+
+
+def test_simhash_similar_docs_close():
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the woods to hide from the hunter ") * 6
+    edited = base.replace("hunter", "hunter", 1)[:-30] + "slightly new tail"
+    other = "completely different content about databases and shuffles " * 6
+    h = [simhash_from_hashes(shingle_hashes(t.encode(), 10))
+         for t in (base, edited, other)]
+    d_sim = hamming64(np.array([h[0]]), np.array([h[1]]))[0]
+    d_diff = hamming64(np.array([h[0]]), np.array([h[2]]))[0]
+    assert d_sim < d_diff
+    assert d_diff - d_sim >= 6
+
+
+def test_simhash_candidates_find_exactish(cfg):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    docs = pa.table({
+        "conv_id": pa.array(["a", "b", "c"], type=pa.string()),
+        "doc": pa.array([base, base + "tiny tail", "unrelated words " * 30],
+                        type=pa.large_string()),
+        "doc_hash": pa.array(np.array([1, 2, 3], dtype=np.uint64),
+                             type=pa.uint64()),
+    })
+    ds = ray.data.from_arrow(docs)
+    simmed = simhash_docs(ds, cfg)
+    pairs = simhash_candidates(simmed, cfg, max_hamming=6).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert ("a", "b") in found
+    assert ("a", "c") not in found
