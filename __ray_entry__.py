@@ -283,8 +283,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
-                   SUM(l_extendedprice * (1 - l_discount)) AS sum_revenue,
-                   AVG(l_discount) AS avg_disc,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_revenue,
+                   ROUND(AVG(l_discount), 2) AS avg_disc,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -358,7 +359,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "reconstruct_docs": f"""
             SELECT conv_id,
-                   string_agg('user' || chr(31) || text, chr(30)
+                   string_agg('u' || chr(31) || text, chr(30)
                               ORDER BY turn_idx) AS doc,
                    CAST(COUNT(*) AS INTEGER) AS n_turns
             FROM (SELECT 'g' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')

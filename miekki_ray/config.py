@@ -18,7 +18,7 @@ from dataclasses import asdict, dataclass, field
 @dataclass(frozen=True)
 class DedupConfig:
     # --- sketch config (must match the oracle's for the recall>=0.99 gate) ---
-    k: int = 10           # shingle size: character k-grams over the joined doc
+    k: int = 12           # shingle size: character k-grams over the joined doc
     num_perm: int = 128   # S — MinHash signature length (slots)
     bands: int = 32       # b — LSH bands
     rows_per_band: int = 4  # r — slots per band; b*r == S asserted
@@ -29,6 +29,16 @@ class DedupConfig:
     containment_threshold: float = 0.9  # ST3: shingle-containment gate
     containment_lcs_ratio: float = 0.8  # ST3: LCS(short,long)/len(short) >= ratio => edge
     containment_enabled: bool = True    # gate for the suffix-array stage (§7 M5)
+
+    # --- containment candidate generation (feeds ST3) ---
+    # extra LSH bands over a MinHash of the doc's FIRST prefix_sketch_bytes:
+    # a prefix-contained pair (A = prefix of B, len(A) >= window) has
+    # IDENTICAL prefix windows, so its collision is guaranteed even though
+    # full-doc Jaccard is far below threshold. Containment pairs the
+    # full-doc bands miss are proposed here and decided exactly by ST3.
+    prefix_sketch_bytes: int = 512
+    prefix_bands: int = 2
+    prefix_rows: int = 4
 
     # --- skew handling (SURVEY.md §4.2) ---
     bucket_cap: int = 64    # bucket with > cap docs is salted/split + pair-sampled

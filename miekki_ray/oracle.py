@@ -26,15 +26,23 @@ def reconstruct_docs_pandas(turns: pa.Table, role_sep: str = "\x1f",
     role<sep>text pieces joined with turn_sep. Columns: conv_id, doc."""
     df = turns.select(["conv_id", "turn_idx", "role", "text"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    df["piece"] = df["role"] + role_sep + df["text"]
+    df["piece"] = df["role"].str[:1] + role_sep + df["text"]
     docs = df.groupby("conv_id", sort=True)["piece"].agg(turn_sep.join)
     return docs.reset_index().rename(columns={"piece": "doc"})
 
 
 def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
-                turn_sep: str = "\x1e") -> pd.DataFrame:
-    """All pairs with shingle intersection > 0, with their EXACT Jaccard and
-    containment. Columns: a, b, jaccard, containment (a < b)."""
+                turn_sep: str = "\x1e",
+                big_group: int = 128) -> pd.DataFrame:
+    """Pairs with shingle intersection > 0 and their EXACT Jaccard and
+    containment. Columns: a, b, jaccard, containment (a < b).
+
+    Ubiquitous shingles (shared by > big_group docs — e.g. the role-tag
+    windows like "assistant<sep>" present in EVERY doc) are handled densely:
+    their counts are ADDED exactly to every emitted pair, but pairs sharing
+    ONLY such shingles are omitted. Those omitted pairs have intersection
+    <= n_big (a few dozen), so J <= n_big/min_doc_shingles — orders of
+    magnitude below any dedup threshold; the returned J values are exact."""
     docs = reconstruct_docs_pandas(turns, role_sep, turn_sep)
     ids = docs["conv_id"].to_numpy()
     sets = [shingle_hashes(d.encode("utf-8"), k) for d in docs["doc"]]
@@ -51,9 +59,20 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
 
     pair_keys: list[np.ndarray] = []
     n = len(sets)
-    for s, e in zip(bounds[:-1], bounds[1:]):
+    group_sizes = np.diff(bounds)
+    # size-2 hash groups are the overwhelming majority: vectorize them
+    two = np.flatnonzero(group_sizes == 2)
+    if two.size:
+        s0 = bounds[two]
+        x, y = all_d[s0], all_d[s0 + 1]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        pair_keys.append(lo.astype(np.int64) * n + hi)
+    big_members: list[np.ndarray] = []
+    for gi in np.flatnonzero(group_sizes > 2):
+        s, e = bounds[gi], bounds[gi] + group_sizes[gi]
         m = e - s
-        if m < 2:
+        if m > big_group:
+            big_members.append(all_d[s:e])
             continue
         d = np.sort(all_d[s:e])
         ii, jj = np.triu_indices(m, k=1)
@@ -63,7 +82,14 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
     keys, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
     ai, bi = keys // n, keys % n
     inter = counts.astype(np.float64)
-    union = sizes[ai] + sizes[bi] - counts
+    if big_members:
+        # dense incidence over the (few) ubiquitous hashes: exact +1 per
+        # big hash both pair members carry
+        B = np.zeros((n, len(big_members)), dtype=bool)
+        for col, mem in enumerate(big_members):
+            B[mem, col] = True
+        inter += (B[ai] & B[bi]).sum(axis=1)
+    union = sizes[ai] + sizes[bi] - inter
     jac = inter / union
     cont = inter / np.minimum(sizes[ai], sizes[bi])
     return pd.DataFrame({

@@ -45,7 +45,16 @@ def lineitem_agg(sf_dir: str):
                       Sum("revenue", alias_name="sum_revenue"),
                       Mean("l_discount", alias_name="avg_disc"),
                       Count(alias_name="n")))
-    return out
+
+    # distributed FP summation order differs from the oracle's sequential
+    # sum; round to cents so both sides hash identically
+    def rnd(batch: pa.Table) -> pa.Table:
+        for col in ("sum_revenue", "avg_disc"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(i, col, pc.round(batch[col], 2))
+        return batch
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def events_by_type(sf_dir: str):

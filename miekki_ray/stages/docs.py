@@ -53,8 +53,15 @@ def _assemble(cfg: DedupConfig):
 
     def assemble(group: pa.Table) -> pa.Table:
         t = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        # role is tagged by its FIRST character only (u/a/t/s...): a full
+        # role word like "assistant" injects ~20 near-universal k-gram
+        # windows per turn boundary, polluting every doc's shingle set with
+        # shared boilerplate and inflating baseline Jaccard between
+        # unrelated docs. text itself passes through byte-exact (the spec
+        # invariant) — only the internal sketch representation is tagged.
         pieces = pc.binary_join_element_wise(
-            pc.cast(t["role"], pa.large_string()),
+            pc.cast(pc.utf8_slice_codeunits(t["role"], 0, 1),
+                    pa.large_string()),
             pc.cast(t["text"], pa.large_string()),
             pa.scalar(role_sep, type=pa.large_string()),
         )

@@ -38,21 +38,37 @@ class Sketcher:
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
         self.a, self.b = hash_params(cfg.num_perm, cfg.seed)  # once per actor
+        n_pslots = cfg.prefix_bands * cfg.prefix_rows
+        self.pa_, self.pb_ = hash_params(n_pslots, cfg.seed + 7)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         docs = batch["doc"].to_pylist()
-        sets = [shingle_hashes(d.encode("utf-8"), cfg.k) for d in docs]
+        enc = [d.encode("utf-8") for d in docs]
+        sets = [shingle_hashes(e, cfg.k) for e in enc]
         sizes = np.array([s.size for s in sets], dtype=np.int64)
+        n_pslots = cfg.prefix_bands * cfg.prefix_rows
         if docs:
             concat = np.concatenate(sets)
             offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
             sig = minhash_from_concat(concat, offsets, self.a, self.b)
+            # prefix sketch: minhash over the first prefix_sketch_bytes only
+            psets = [s if len(e) <= cfg.prefix_sketch_bytes
+                     else shingle_hashes(e[:cfg.prefix_sketch_bytes], cfg.k)
+                     for e, s in zip(enc, sets)]
+            psizes = np.array([s.size for s in psets], dtype=np.int64)
+            pconcat = np.concatenate(psets)
+            poffsets = np.concatenate(([0], np.cumsum(psizes)[:-1]))
+            psig = minhash_from_concat(pconcat, poffsets, self.pa_, self.pb_)
         else:
             sig = np.empty((0, cfg.num_perm), dtype=np.uint64)
+            psig = np.empty((0, n_pslots), dtype=np.uint64)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perm)
+        psig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(psig.ravel(), type=pa.uint64()), n_pslots)
         out = batch.append_column("sig", sig_col)
+        out = out.append_column("psig", psig_col)
         return out.append_column(
             "n_shingles", pa.array(sizes.astype(np.int32), type=pa.int32()))
 
@@ -69,10 +85,14 @@ def sketch_docs(docs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
 
 
 def _sig_matrix(batch: pa.Table, num_perm: int) -> np.ndarray:
-    col = batch["sig"]
+    return _sig_matrix_col(batch, "sig", num_perm)
+
+
+def _sig_matrix_col(batch: pa.Table, name: str, width: int) -> np.ndarray:
+    col = batch[name]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
 
 
 def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
@@ -81,17 +101,24 @@ def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
     cheaper than per-row flat_map, SURVEY.md §2.2 M7)."""
     b_, r_, seed = cfg.bands, cfg.rows_per_band, cfg.seed
 
+    pb_, pr_ = cfg.prefix_bands, cfg.prefix_rows
+    total_b = b_ + pb_
+
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sig = _sig_matrix(batch, cfg.num_perm)
-        bh = band_hashes(sig, b_, r_, seed)          # (n, b)
-        band_ids = np.tile(np.arange(b_, dtype=np.uint64), n)
+        bh = band_hashes(sig, b_, r_, seed)              # (n, b)
+        # prefix-sketch bands (containment candidates) use band ids past b_
+        psig = _sig_matrix_col(batch, "psig", pb_ * pr_)
+        pbh = band_hashes(psig, pb_, pr_, seed + 13)     # (n, pb)
+        allh = np.concatenate([bh, pbh], axis=1)         # (n, b+pb)
+        band_ids = np.tile(np.arange(total_b, dtype=np.uint64), n)
         from miekki_ray.functions.hashing import splitmix64
         with np.errstate(over="ignore"):
-            bucket = splitmix64(bh.ravel()
+            bucket = splitmix64(allh.ravel()
                                 + band_ids * np.uint64(0x9E3779B97F4A7C15))
-        conv = pc_take_repeat(batch["conv_id"], n, b_)
-        dh = np.repeat(batch["doc_hash"].to_numpy(), b_)
+        conv = pc_take_repeat(batch["conv_id"], n, total_b)
+        dh = np.repeat(batch["doc_hash"].to_numpy(), total_b)
         # NOTE: bucket_key is the uint64 hash REINTERPRETED as int64 (same
         # bits) — Ray Data's sort/groupby handles int64 keys natively but
         # falls back to slow pickled-object arrays for uint64 values > 2^63.

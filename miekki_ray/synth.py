@@ -33,11 +33,17 @@ _ROLES = ("user", "assistant")
 _BASE_TS_US = 1_700_000_000_000_000  # fixed epoch base, microseconds
 
 
-def _vocab(rng: np.random.Generator, size: int = 2048) -> list[str]:
+def _vocab(rng: np.random.Generator, size: int = 32768) -> list[str]:
+    """Large vocabulary of 4-7 char words so unrelated docs share ~no
+    k-shingles: with k=10, a shared single word w gives a fully-determined
+    shared window only when len(" w ") >= k, i.e. len(w) >= 8 — capping at
+    7 forces every window to include neighbor-word characters, so cross-doc
+    collisions need a shared word BIGRAM (negligible at 32k vocab). Keeps
+    the brute-force oracle sparse and the planted J-distribution sharp."""
     letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
     out = []
     for _ in range(size):
-        ln = int(rng.integers(3, 9))
+        ln = int(rng.integers(4, 8))
         out.append("".join(rng.choice(letters, size=ln)))
     return out
 
@@ -182,12 +188,14 @@ def synth_transcripts(n_convs: int, seed: int) -> tuple[pa.Table, pa.Table]:
         other = b.emit(_edit_tokens(tokens, b.rng, 0.04, b.vocab_n))
         b.planted.append((first, other, "near_border"))
 
-    # --- containment: A = prefix of B (suffix-array stage population) ---
+    # --- containment: A = true prefix of B's turns, roles and all
+    # (suffix-array stage population) ---
     for _ in range(max(0, n_contain // 2)):
         tokens = b.new_conv_tokens(n_turns=int(b.rng.integers(12, 36)))
         cut = max(2, int(len(tokens) * float(b.rng.uniform(0.3, 0.6))))
         big = b.emit(tokens)
-        small = b.emit(tokens[:cut])
+        roles, texts, tools = b.last_conv_rows(big)
+        small = b.emit_copy_exact((roles[:cut], texts[:cut], tools[:cut]))
         b.planted.append((small, big, "containment"))
 
     # --- uniques fill the remainder ---

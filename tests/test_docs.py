@@ -18,7 +18,7 @@ def test_per_turn_text_equality(small_corpus, cfg):
     # independent expectation: pandas stable sort + join
     df = turns.select(["conv_id", "turn_idx", "role", "text"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    df["piece"] = df["role"] + cfg.role_sep + df["text"]
+    df["piece"] = df["role"].str[:1] + cfg.role_sep + df["text"]
     want = df.groupby("conv_id")["piece"].agg(cfg.turn_sep.join)
     got = docs.set_index("conv_id")["doc"]
     assert len(got) == len(want)
