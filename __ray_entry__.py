@@ -32,7 +32,7 @@ def _cfg(**overrides):
     if ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     kw = dict(num_partitions=max(4, min(32, ncpu)),
-              sketch_concurrency=(1, max(2, ncpu // 2)))
+              sketch_concurrency=max(2, ncpu - 2))
     kw.update(overrides)
     return DedupConfig(**kw)
 

@@ -39,6 +39,12 @@ class DedupConfig:
     prefix_sketch_bytes: int = 512
     prefix_bands: int = 2
     prefix_rows: int = 4
+    # prefix-band buckets get a much tighter pair cap: boilerplate openings
+    # (skew blocks) give MANY docs identical prefix windows, and those
+    # buckets exist only to propose containment pairs — genuine containment
+    # pairs sit in tiny buckets, while a shared-boilerplate mega-bucket
+    # yields only verify-reject junk
+    prefix_pair_cap: int = 256
 
     # --- skew handling (SURVEY.md §4.2) ---
     bucket_cap: int = 64    # bucket with > cap docs is salted/split + pair-sampled
@@ -52,9 +58,12 @@ class DedupConfig:
 
     # --- physical execution ---
     num_partitions: int = 64      # shuffle width for groupby stages
-    sketch_batch_size: int = 1024  # docs per sketcher batch
-    sketch_concurrency: tuple[int, int] = field(default=(2, 8))
-    verify_batch_size: int = 256
+    sketch_batch_size: int = 1024  # docs per sketcher batch (~2.5 MB text)
+    # int => FIXED pool size (spawns all actors immediately); (lo, hi)
+    # tuple => Ray autoscaling pool, which ramps too slowly for short jobs
+    sketch_concurrency: int | tuple[int, int] = 8
+    verify_batch_size: int = 1024  # bigger batches = better per-batch doc
+    #                                 shingle-cache reuse in the verifier
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:

@@ -6,6 +6,19 @@ import pyarrow as pa
 import ray.data
 
 
+def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema
+                  ) -> ray.data.Dataset:
+    """Replace schema-less EMPTY blocks (produced by join/groupby operators
+    on empty partitions [env ray 2.49.2]) with schema-correct empty tables,
+    so downstream joins never see a block without the key column."""
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     """Rename columns via a zero-copy Arrow map_batches.
 

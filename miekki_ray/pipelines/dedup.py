@@ -46,30 +46,44 @@ class DedupResult:
 
 def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     """Pure-Dataset composition (no checkpointing) — used by tests/bench."""
-    # docs feeds exact-dedup AND the final cluster assignment; unique_docs
-    # feeds BOTH the sketcher and the verify join; band rows feed BOTH the
-    # bucket-size scan and the salted grouping. Materializing the multiply-
-    # consumed intermediates (slim schemas — band rows carry no doc text)
-    # avoids recomputing the whole upstream chain per consumer; Ray spills
-    # to disk under pressure.
+    from miekki_ray.state.metrics import MetricsSink
+
+    sink = MetricsSink()
+    # Materialization points (each is a barrier — keep them few): docs
+    # feed exact dedup, the verify join and the final assignment; exact
+    # dedup shuffles only (conv_id, doc_hash) metadata and its loser set
+    # comes back as a broadcast filter; the sketcher is a separate
+    # map_batches stage over ~1024-doc batches (fusing it into the shuffle
+    # reduce tasks was tried and is ~2.5x SLOWER — monolithic per-partition
+    # kernels lose cache locality and serialize memory bandwidth); band
+    # explosion is a cheap numpy map recomputed per consumer instead of
+    # materializing the b-times larger band-row table.
+    from miekki_ray.stages.exact import drop_losers, exact_dedup_slim
+
     docs = reconstruct_docs(turns, cfg).materialize()
-    unique_docs, exact_edges = exact_dedup(docs, cfg)
-    unique_docs = unique_docs.materialize()
-    sketched = sketch_docs(unique_docs, cfg)
-    bands = band_explode(sketched, cfg).materialize()
-    pairs = candidate_pairs(bands, cfg).materialize()
-    if pairs.count() == 0:
+    exact_edges, losers = exact_dedup_slim(docs, cfg)
+    unique_docs = drop_losers(docs, losers)
+    sketched = (sketch_docs(unique_docs, cfg)
+                .select_columns(["conv_id", "doc_hash", "sig", "psig"])
+                .materialize())   # ~1.1 KB/doc, no text
+    bands = band_explode(sketched, cfg)
+    pairs = candidate_pairs(bands, cfg, metrics_name=sink.name).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         from miekki_ray.stages.verify import empty_verified
         verified = empty_verified()
     else:
-        with_docs = attach_docs(pairs, unique_docs, cfg)
+        with_docs = attach_docs(pairs, docs, cfg, n_pairs=n_pairs)
         verified = verify_pairs(with_docs, cfg).materialize()
     near_edges = edges_from_verified(verified)
     edges = exact_edges.union(near_edges).materialize()
     comp = cluster_edges_driver(edges)
     clusters = assign_clusters(docs, comp).materialize()
+    metrics = sink.collect()
+    sink.close()
+    metrics["n_components"] = len(set(comp.values()))
     return DedupResult(clusters=clusters, edges=edges, verified=verified,
-                       docs=docs)
+                       docs=docs, metrics=metrics)
 
 
 def run_dedup(turns_path: str | list[str] | ray.data.Dataset,

@@ -1,0 +1,144 @@
+"""§3.1 — the reference's own shape: query-vs-index matching.
+
+[spec BASELINE.json:2] the reference's metric is defined over
+"query-vs-index test sequences": an INDEX corpus is sketched, a QUERY
+corpus is sketched with the SAME config, and each query is matched against
+the index via sketch intersection. The idiomatic Ray Data rendering
+(SURVEY.md §3.1): both sides' band rows are unioned with a side tag, the
+bucket groupby emits only CROSS-side pairs, and exact Jaccard verifies.
+
+Output: matches (query_id, index_id, n_bands, jaccard, containment,
+verified) — the graft analog of Miekki's match list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.sources.transcripts import read_transcripts
+from miekki_ray.stages.candidates import (
+    hot_bucket_keys,
+    salt_hot_buckets,
+)
+from miekki_ray.stages.docs import reconstruct_docs
+from miekki_ray.stages.exact import exact_dedup
+from miekki_ray.stages.sketch import band_explode, sketch_docs
+from miekki_ray.stages.verify import attach_docs, verify_pairs
+
+U64 = np.uint64
+
+
+def _tag_side(ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array([side] * batch.num_rows, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _emit_cross_pairs(cfg: DedupConfig):
+    pair_cap = cfg.pair_cap
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        t = group.sort_values("bucket_key", kind="mergesort")
+        keys = t["bucket_key"].to_numpy(dtype=np.int64)
+        ids = t["conv_id"].to_numpy(dtype=object)
+        sides = t["side"].to_numpy(dtype=object)
+        change = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1])))
+        bounds = np.append(change, keys.size)
+        out_q, out_i = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            g_ids, g_sides = ids[s:e], sides[s:e]
+            q_ids = np.unique(g_ids[g_sides == "q"].astype(str))
+            i_ids = np.unique(g_ids[g_sides == "i"].astype(str))
+            if not q_ids.size or not i_ids.size:
+                continue
+            n_cross = q_ids.size * i_ids.size
+            qi, ii = np.meshgrid(np.arange(q_ids.size),
+                                 np.arange(i_ids.size), indexing="ij")
+            qi, ii = qi.ravel(), ii.ravel()
+            if n_cross > pair_cap:
+                rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
+                pick = rng.choice(n_cross, size=pair_cap, replace=False)
+                qi, ii = qi[pick], ii[pick]
+            out_q.append(q_ids[qi])
+            out_i.append(i_ids[ii])
+        if not out_q:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str)})
+        return pd.DataFrame({"a": np.concatenate(out_q),
+                             "b": np.concatenate(out_i)})
+
+    return emit
+
+
+def match_query_vs_index(query_turns: ray.data.Dataset,
+                         index_turns: ray.data.Dataset,
+                         cfg: DedupConfig | None = None) -> ray.data.Dataset:
+    """Sketch both corpora at the same config; return verified matches
+    (a=query conv_id, b=index conv_id, n_bands, jaccard, containment,
+    verified, contained)."""
+    from miekki_ray.stages.candidates import distinct_pairs
+    from miekki_ray.functions.util import rename
+
+    cfg = cfg or DedupConfig()
+
+    def side_chain(turns: ray.data.Dataset, side: str):
+        docs = reconstruct_docs(turns, cfg).materialize()
+        uniq, _ = exact_dedup(docs, cfg)
+        uniq = uniq.materialize()
+        bands = band_explode(sketch_docs(uniq, cfg), cfg)
+        return uniq, _tag_side(bands, side)
+
+    q_docs, q_bands = side_chain(query_turns, "q")
+    i_docs, i_bands = side_chain(index_turns, "i")
+    bands = q_bands.union(i_bands).materialize()
+
+    hot = hot_bucket_keys(bands.drop_columns(["side"]), cfg)
+    salted = salt_hot_buckets(bands, hot, cfg)
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["bucket_key"].to_numpy().view(np.uint64)
+                % U64(P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    raw = (salted.map_batches(add_part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("_part")
+           .map_groups(_emit_cross_pairs(cfg), batch_format="pandas"))
+    pairs = distinct_pairs(raw, cfg).materialize()
+    if pairs.count() == 0:
+        from miekki_ray.stages.verify import empty_verified
+        out = empty_verified()
+    else:
+        # queries join on 'a' against query docs, 'b' against index docs
+        from miekki_ray.functions.util import ensure_schema
+        slim_q = q_docs.select_columns(["conv_id", "doc"])
+        slim_i = i_docs.select_columns(["conv_id", "doc"])
+        n_p = pairs.count()
+        pj = 1 if n_p < 4000 else min(P, n_p // 2000)
+        j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                               ("n_bands", pa.int32()),
+                               ("doc_a", pa.large_string())])
+        j = pairs.join(slim_q, join_type="inner", num_partitions=pj,
+                       on=("a",), right_on=("conv_id",))
+        j = ensure_schema(rename(j, {"doc": "doc_a"}), j1_schema)
+        j = j.join(slim_i, join_type="inner", num_partitions=pj,
+                   on=("b",), right_on=("conv_id",))
+        j = rename(j, {"doc": "doc_b"})
+        out = verify_pairs(j, cfg)
+    return rename(out, {"a": "query_id", "b": "index_id"})
+
+
+def run_index_query(query_path: str, index_path: str,
+                    cfg: DedupConfig | None = None) -> ray.data.Dataset:
+    return match_query_vs_index(read_transcripts(query_path),
+                                read_transcripts(index_path), cfg)

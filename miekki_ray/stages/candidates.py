@@ -37,15 +37,21 @@ U64 = np.uint64
 
 def bucket_sizes(band_rows: ray.data.Dataset, cfg: DedupConfig
                  ) -> ray.data.Dataset:
-    """Per-bucket row counts via partial per-batch pre-aggregation, so the
-    wide groupby only shuffles (key, partial_count) rows (ray_guide
-    'Aggregation at scale')."""
+    """Approximate per-bucket counts for HOT-bucket detection: per-batch
+    partial counts, keeping only keys that repeat within a batch. A bucket
+    of size m >> cap lands ~m/n_blocks rows per block, so every truly hot
+    bucket repeats locally; buckets spread one-row-per-block are missed,
+    but detection only drives SALTING — missed buckets are still
+    pair-capped in the emit stage (SURVEY.md §4.2). This keeps the
+    detection shuffle ~50x smaller than the band-row table (unique bucket
+    keys dominate band rows)."""
     def partial(batch: pa.Table) -> pa.Table:
         keys, counts = np.unique(batch["bucket_key"].to_numpy(),
                                  return_counts=True)
+        rep = counts >= 2
         return pa.table({
-            "bucket_key": pa.array(keys, type=pa.int64()),
-            "n": pa.array(counts.astype(np.int64), type=pa.int64()),
+            "bucket_key": pa.array(keys[rep], type=pa.int64()),
+            "n": pa.array(counts[rep].astype(np.int64), type=pa.int64()),
         })
 
     from ray.data.aggregate import Sum
@@ -95,13 +101,16 @@ def salt_hot_buckets(band_rows: ray.data.Dataset, hot_keys: np.ndarray,
                                  zero_copy_batch=True)
 
 
-def _emit_pairs_partition(cfg: DedupConfig):
+def _emit_pairs_partition(cfg: DedupConfig, metrics_name: str | None = None):
     pair_cap = cfg.pair_cap
+    prefix_cap = cfg.prefix_pair_cap
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         t = group.sort_values("bucket_key", kind="mergesort")
         keys = t["bucket_key"].to_numpy(dtype=np.int64)
         ids = t["conv_id"].to_numpy(dtype=object)
+        pband = (t["pband"].to_numpy(dtype=bool)
+                 if "pband" in t.columns else np.zeros(len(t), dtype=bool))
         change = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
         bounds = np.append(change, keys.size)
         sizes = np.diff(bounds)
@@ -118,20 +127,29 @@ def _emit_pairs_partition(cfg: DedupConfig):
             out_a.append(lo[neq])
             out_b.append(hi[neq])
         # larger buckets: triu pairs, capped with a seeded sample
+        n_capped_buckets = 0
+        n_pairs_dropped = 0
         for gi in np.flatnonzero(sizes > 2):
             s, e = bounds[gi], bounds[gi] + sizes[gi]
             members = np.unique(ids[s:e].astype(str))
             m = members.size
             if m < 2:
                 continue
+            cap = prefix_cap if pband[s] else pair_cap
             n_pairs = m * (m - 1) // 2
             ii, jj = np.triu_indices(m, k=1)
-            if n_pairs > pair_cap:
+            if n_pairs > cap:
                 rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
-                pick = rng.choice(n_pairs, size=pair_cap, replace=False)
+                pick = rng.choice(n_pairs, size=cap, replace=False)
                 ii, jj = ii[pick], jj[pick]
+                n_capped_buckets += 1
+                n_pairs_dropped += n_pairs - cap
             out_a.append(members[ii])
             out_b.append(members[jj])
+        if n_capped_buckets:
+            from miekki_ray.state.metrics import emit as memit
+            memit(metrics_name, {"pairs_capped_buckets": n_capped_buckets,
+                                 "pairs_dropped_by_cap": n_pairs_dropped})
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=str),
                                  "b": pd.Series([], dtype=str)})
@@ -141,11 +159,14 @@ def _emit_pairs_partition(cfg: DedupConfig):
     return emit
 
 
-def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig
-                    ) -> ray.data.Dataset:
+def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig,
+                    metrics_name: str | None = None) -> ray.data.Dataset:
     """Full J1+A1: salt → bucket pairs → distinct with n_bands count.
     Shuffle #2 (bucket_key) + shuffle #3 (pair key)."""
     hot = hot_bucket_keys(band_rows, cfg)
+    if metrics_name and hot.size:
+        from miekki_ray.state.metrics import emit as memit
+        memit(metrics_name, {"hot_buckets_salted": int(hot.size)})
     salted = salt_hot_buckets(band_rows, hot, cfg)
     P = cfg.num_partitions
 
@@ -157,7 +178,7 @@ def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig
     parted = salted.map_batches(add_part, batch_format="pyarrow",
                                 zero_copy_batch=True)
     raw_pairs = parted.groupby("_part").map_groups(
-        _emit_pairs_partition(cfg), batch_format="pandas")
+        _emit_pairs_partition(cfg, metrics_name), batch_format="pandas")
     return distinct_pairs(raw_pairs, cfg)
 
 
@@ -167,9 +188,11 @@ def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
     P = cfg.num_partitions
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            batch["_part"] = pd.Series([], dtype=np.int32)
-            return batch
+        if len(batch) == 0 or "a" not in batch.columns:
+            # schema-less empty block from an empty upstream partition
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str),
+                                 "_part": pd.Series([], dtype=np.int32)})
         h = pd.util.hash_pandas_object(
             batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
             index=False).to_numpy(dtype=np.uint64)
@@ -178,6 +201,10 @@ def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
         return batch
 
     def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "a" not in group.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str),
+                                 "n_bands": pd.Series([], dtype=np.int32)})
         g = (group.groupby(["a", "b"], sort=False).size()
              .reset_index(name="n_bands"))
         g["n_bands"] = g["n_bands"].astype(np.int32)

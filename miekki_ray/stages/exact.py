@@ -40,8 +40,11 @@ def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
 
     parted = docs.map_batches(add_part, batch_format="pyarrow",
                               zero_copy_batch=True)
+    # materialize the tagged table ONCE: both outputs (unique docs + exact
+    # edges) are cheap filters of it — without this, each consumer re-runs
+    # the whole upstream shuffle
     tagged = parted.groupby("_part").map_groups(
-        _dedup_partition, batch_format="pandas")
+        _dedup_partition, batch_format="pandas").materialize()
 
     unique_docs = tagged.filter(expr="_is_rep == True").drop_columns(
         ["_part", "_rep", "_is_rep"])
@@ -56,3 +59,50 @@ def _to_edges(batch: pd.DataFrame) -> pd.DataFrame:
     a = np.minimum(batch["_rep"], batch["conv_id"])
     b = np.maximum(batch["_rep"], batch["conv_id"])
     return pd.DataFrame({"a": a, "b": b, "kind": "exact"})
+
+
+def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
+                     ) -> tuple[ray.data.Dataset, pd.DataFrame]:
+    """D1 over METADATA only: shuffles (conv_id, doc_hash) — a few bytes
+    per doc instead of the full doc text — and returns
+    (exact_edges Dataset, losers DataFrame[conv_id, doc_hash]).
+
+    The caller filters its (already-sketched) docs table by broadcasting
+    the loser set when it is small, or anti-joining when it is not —
+    SURVEY.md §2.4 J3/J4. Semantics identical to exact_dedup."""
+    slim = docs.select_columns(["conv_id", "doc_hash"])
+    P = cfg.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["doc_hash"].to_numpy() % np.uint64(P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    tagged = (slim.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("_part")
+              .map_groups(_dedup_partition, batch_format="pandas")
+              .materialize())
+    edges = (tagged.filter(expr="_is_rep == False")
+             .map_batches(_to_edges, batch_format="pandas"))
+    losers = (tagged.filter(expr="_is_rep == False")
+              .select_columns(["conv_id", "doc_hash"]).to_pandas())
+    return edges, losers
+
+
+def drop_losers(docs: ray.data.Dataset, losers: pd.DataFrame
+                ) -> ray.data.Dataset:
+    """Broadcast semi-filter: drop exact-dup losers from the docs table.
+    Loser set is broadcast once via ray.put (J3); at scales where the
+    loser set itself cannot be broadcast, use an anti-join instead."""
+    import ray as _ray
+
+    if len(losers) == 0:
+        return docs
+    ref = _ray.put(pd.Index(losers["conv_id"].astype(str)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        bad = _ray.get(ref)
+        mask = ~pd.Index(batch["conv_id"].to_pandas().astype(str)).isin(bad)
+        return batch.filter(pa.array(np.asarray(mask)))
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

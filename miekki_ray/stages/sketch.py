@@ -73,14 +73,43 @@ class Sketcher:
             "n_shingles", pa.array(sizes.astype(np.int32), type=pa.int32()))
 
 
-def sketch_docs(docs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
+# Per-worker-process sketcher cache: stateless TASKS reuse Ray's warm
+# worker processes, so the (S,2) hash-parameter state is built once per
+# process — the same amortization an actor pool gives, without paying a
+# fresh actor-process spawn (~1s each, staggered) per pipeline stage.
+# Measured on the 5M-turn corpus at 32 cpus: actor pool 45s wall for 348
+# core-s of work (spawn-bound, ~8x effective parallelism) vs tasks ~12s.
+_SKETCHER_CACHE: dict[str, Sketcher] = {}
+
+
+def _sketch_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    key = cfg.config_hash()
+    sk = _SKETCHER_CACHE.get(key)
+    if sk is None:
+        sk = _SKETCHER_CACHE[key] = Sketcher(cfg)
+    return sk(batch)
+
+
+def sketch_docs(docs: ray.data.Dataset, cfg: DedupConfig,
+                use_actor_pool: bool = False) -> ray.data.Dataset:
+    """M5. Default: warm-worker tasks with per-process cached state (see
+    note above). use_actor_pool=True gives the classic dedicated actor pool
+    (useful when the state were heavy enough to warrant pinned processes)."""
+    if use_actor_pool:
+        return docs.map_batches(
+            Sketcher,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=cfg.sketch_batch_size,
+            concurrency=cfg.sketch_concurrency,
+        )
     return docs.map_batches(
-        Sketcher,
-        fn_constructor_args=(cfg,),
+        _sketch_batch,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.sketch_batch_size,
-        concurrency=cfg.sketch_concurrency,
     )
 
 
@@ -119,6 +148,7 @@ def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
                                 + band_ids * np.uint64(0x9E3779B97F4A7C15))
         conv = pc_take_repeat(batch["conv_id"], n, total_b)
         dh = np.repeat(batch["doc_hash"].to_numpy(), total_b)
+        pband = np.tile(np.arange(total_b) >= b_, n)
         # NOTE: bucket_key is the uint64 hash REINTERPRETED as int64 (same
         # bits) — Ray Data's sort/groupby handles int64 keys natively but
         # falls back to slow pickled-object arrays for uint64 values > 2^63.
@@ -126,6 +156,7 @@ def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
             "conv_id": conv,
             "doc_hash": pa.array(dh, type=pa.uint64()),
             "bucket_key": pa.array(bucket.view(np.int64), type=pa.int64()),
+            "pband": pa.array(pband, type=pa.bool_()),
         })
 
     return sketched.map_batches(explode, batch_format="pyarrow",

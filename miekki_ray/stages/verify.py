@@ -41,15 +41,25 @@ def empty_verified() -> ray.data.Dataset:
 
 
 def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
-                cfg: DedupConfig) -> ray.data.Dataset:
+                cfg: DedupConfig,
+                n_pairs: int | None = None) -> ray.data.Dataset:
     """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
     Shuffle #4: hash join on a, then on b."""
-    from miekki_ray.functions.util import rename
+    from miekki_ray.functions.util import ensure_schema, rename
     slim = docs.select_columns(["conv_id", "doc"])
     P = cfg.num_partitions
+    if n_pairs is not None:
+        # each join partition spins up a shuffle-aggregator actor; for small
+        # candidate sets that startup dominates. ONE partition when the pair
+        # set is tiny — ray's join finalize chokes on a partition that
+        # receives zero left blocks [env], and P=1 can never have one.
+        P = 1 if n_pairs < 20000 else min(P, n_pairs // 10000)
+    j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("n_bands", pa.int32()),
+                           ("doc_a", pa.large_string())])
     j1 = pairs.join(slim, join_type="inner", num_partitions=P,
                     on=("a",), right_on=("conv_id",))
-    j1 = rename(j1, {"doc": "doc_a"})
+    j1 = ensure_schema(rename(j1, {"doc": "doc_a"}), j1_schema)
     j2 = j1.join(slim, join_type="inner", num_partitions=P,
                  on=("b",), right_on=("conv_id",))
     return rename(j2, {"doc": "doc_b"})
@@ -119,13 +129,14 @@ class Verifier:
 
 def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
                  ) -> ray.data.Dataset:
+    # stateless TASKS, not an actor pool: the verifier holds no per-worker
+    # state worth amortizing (shingle sets are cached per batch, not per
+    # actor), and elastic tasks skip the actor-process spawn latency
     return pairs_with_docs.map_batches(
-        Verifier,
-        fn_constructor_args=(cfg,),
+        Verifier(cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=cfg.verify_batch_size,
-        concurrency=cfg.sketch_concurrency,
     )
 
 

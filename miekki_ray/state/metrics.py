@@ -1,0 +1,56 @@
+"""A2 — per-stage metrics, accumulated in a named Ray actor.
+
+SURVEY.md §2.5 / §4.2: "pairs emitted/capped, bucket-size histogram ...
+record capped-bucket stats in metrics so recall claims stay honest". Batch
+UDFs running in worker processes can't return side data, so counters flow
+through one tiny named actor; the pipeline driver collects and embeds them
+into lineage manifests / DedupResult.metrics.
+
+Overhead: one actor call per TASK (flushed, not per batch-row), negligible
+against shuffle cost.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import ray
+
+
+@ray.remote(num_cpus=0)
+class MetricsActor:
+    def __init__(self) -> None:
+        self.counters: dict[str, float] = {}
+
+    def add(self, kv: dict[str, float]) -> None:
+        for k, v in kv.items():
+            self.counters[k] = self.counters.get(k, 0) + v
+
+    def snapshot(self) -> dict[str, float]:
+        return dict(self.counters)
+
+
+class MetricsSink:
+    """Driver-side handle: create per pipeline run, pass `.name` into
+    stages (workers reconnect by name), collect() at the end."""
+
+    def __init__(self) -> None:
+        self.name = f"miekki_metrics_{uuid.uuid4().hex[:8]}"
+        self.actor = MetricsActor.options(name=self.name).remote()
+
+    def collect(self) -> dict[str, float]:
+        return ray.get(self.actor.snapshot.remote())
+
+    def close(self) -> None:
+        ray.kill(self.actor)
+
+
+def emit(metrics_name: str | None, kv: dict[str, float]) -> None:
+    """Fire-and-forget counter add from inside a worker task."""
+    if not metrics_name or not kv:
+        return
+    try:
+        actor = ray.get_actor(metrics_name)
+        actor.add.remote(kv)
+    except ValueError:
+        pass  # sink already closed (e.g. stage re-executed after collect)

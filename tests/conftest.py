@@ -36,4 +36,4 @@ def cfg():
 
     # small shuffle width + small actor pools: tiny corpora pay fixed
     # per-actor/per-partition startup, not compute
-    return DedupConfig(num_partitions=4, sketch_concurrency=(1, 2))
+    return DedupConfig(num_partitions=4, sketch_concurrency=2)
