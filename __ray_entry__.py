@@ -237,6 +237,89 @@ def _doc_fingerprints(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+# ------------------------------------------------- windows / stats / extras
+
+def _events_tumbling(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.windows import tumbling_window_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    out = tumbling_window_counts(ev, window_s=86400)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value",
+                                pc.round(batch["sum_value"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _events_sessions(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.windows import session_windows
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    out = session_windows(ev, gap_s=86400)
+
+    import pandas as pd
+
+    def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["sum_value"] = batch["sum_value"].round(2)
+        return batch
+
+    return out.map_batches(rnd, batch_format="pandas") \
+              .sort(["user_id", "session_start"])
+
+
+def _documents_top_clusters(sf_dir: str):
+    from miekki_ray import relational as R
+    from miekki_ray.stages.stats import top_clusters
+
+    return top_clusters(R.documents_dup_clusters(sf_dir), k=10)
+
+
+def _dedup_cluster_stats(sf_dir: str):
+    from miekki_ray.stages.stats import dedup_summary
+
+    return dedup_summary(_dedup_result(sf_dir).clusters)
+
+
+def _ngram_pairs(sf_dir: str):
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.stages.docs import reconstruct_docs
+    from miekki_ray.stages.ngram import ngram_near_dup_pairs
+
+    cfg = _cfg()
+    docs = reconstruct_docs(documents_as_turns(sf_dir), cfg).materialize()
+    return ngram_near_dup_pairs(docs, cfg).sort(["a", "b"])
+
+
+def _media_decode(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.multimodal import decode_media, synth_media
+
+    media = ray.data.from_arrow(synth_media(200, seed=11))
+    return decode_media(media, seed=1).sort("media_id") \
+        .select_columns(["media_id", "kind", "decoded_ok"])
+
+
+def _media_stats(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.multimodal import media_meta_stats, synth_media
+
+    return media_meta_stats(ray.data.from_arrow(synth_media(200, seed=11)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from miekki_ray import relational as R
 
@@ -275,6 +358,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "ann_topk_bruteforce": _ann_bruteforce,
         "ann_topk_lsh": _ann_lsh,
+        # windows / stats (SQL-oracled)
+        "events_tumbling": _events_tumbling,
+        "events_sessions": _events_sessions,
+        "documents_top_clusters": _documents_top_clusters,
+        # extras (rows-only)
+        "dedup_cluster_stats": _dedup_cluster_stats,
+        "ngram_near_dup_pairs": _ngram_pairs,
+        "media_decode": _media_decode,
+        "media_meta_stats": _media_stats,
     }
 
 
@@ -375,5 +467,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\s+'))
                    END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "events_tumbling": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS w,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY event_type, w
+        """,
+        "events_sessions": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 86400000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "documents_top_clusters": """
+            SELECT MIN(doc_id) AS cluster_id, COUNT(*) AS size
+            FROM documents GROUP BY text
+            ORDER BY size DESC, cluster_id ASC LIMIT 10
         """,
     }

@@ -74,7 +74,10 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
         verified = empty_verified()
     else:
         with_docs = attach_docs(pairs, docs, cfg, n_pairs=n_pairs)
-        verified = verify_pairs(with_docs, cfg).materialize()
+        # verified stays LAZY: the edges materialization below is its only
+        # in-pipeline consumer (one barrier instead of two); accessing
+        # DedupResult.verified later re-executes the verify chain
+        verified = verify_pairs(with_docs, cfg)
     near_edges = edges_from_verified(verified)
     edges = exact_edges.union(near_edges).materialize()
     comp = cluster_edges_driver(edges)

@@ -1,0 +1,75 @@
+"""Stream-shaped aggregates over the events table (ray_guide
+'Streaming-shaped workloads' pattern).
+
+Ray Data has no event-time windows; tumbling windows over a keyed, ordered
+log are expressed as `GROUP BY key, floor(ts/size)` — a plain grouped
+aggregate that the DuckDB oracle can state exactly. Session windows need
+per-key ordered scans: partition by key, sort within the group, split on
+gaps — groupby(key-partition).map_groups with vectorized pandas inside
+(the same coarse-partition idiom as the dedup stages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_window_counts(events: ray.data.Dataset, window_s: int
+                           ) -> ray.data.Dataset:
+    """Events per (event_type, tumbling window). Window = floor(epoch
+    seconds / window_s) — matches the SQL oracle exactly."""
+    def add_window(batch: pa.Table) -> pa.Table:
+        # normalize to us regardless of the stored timestamp unit
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        w = pa.array(np.asarray(ts) // (window_s * 1_000_000),
+                     type=pa.int64())
+        return batch.append_column("w", w)
+
+    return (events.map_batches(add_window, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["event_type", "w"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value", alias_name="sum_value")))
+
+
+def session_windows(events: ray.data.Dataset, gap_s: int,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-user session windows: a session ends after a gap > gap_s.
+    Output: user_id, session_start (us), n_events, sum_value.
+
+    Ordering assumption: sessions are computed from ts order WITHIN each
+    user; users are hash-partitioned and each partition is processed in one
+    vectorized pass."""
+    gap_us = gap_s * 1_000_000
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        # normalize to us regardless of pandas datetime unit (ns vs us)
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([True], (ts[1:] - ts[:-1]) > gap_us))
+        new_session = new_user | gap
+        sid = np.cumsum(new_session) - 1
+        g = g.assign(_sid=sid)
+        out = g.groupby("_sid").agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        ).reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (events.select_columns(["user_id", "ts", "value"])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part").map_groups(sessionize, batch_format="pandas"))

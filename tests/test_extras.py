@@ -1,0 +1,136 @@
+"""Stats, windows, multimodal plumbing, and n-gram Jaccard dedup."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from miekki_ray.stages.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    media_meta_stats,
+    synth_media,
+)
+from miekki_ray.stages.ngram import ngram_jaccard, ngram_near_dup_pairs
+from miekki_ray.stages.stats import (
+    cluster_size_histogram,
+    dedup_summary,
+    top_clusters,
+)
+from miekki_ray.stages.windows import session_windows, tumbling_window_counts
+
+
+def _clusters_ds():
+    df = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(10)],
+        "cluster_id": ["c0", "c0", "c0", "c3", "c3", "c5", "c6", "c7",
+                       "c8", "c9"],
+        "is_rep": [True, False, False, True, False, True, True, True,
+                   True, True],
+    })
+    return ray.data.from_pandas(df)
+
+
+def test_top_clusters_and_histogram():
+    top = top_clusters(_clusters_ds(), k=2).to_pandas()
+    assert list(top["cluster_id"]) == ["c0", "c3"]
+    assert list(top["size"]) == [3, 2]
+    hist = cluster_size_histogram(_clusters_ds())
+    assert dict(zip(hist["size"], hist["n_clusters"])) == {1: 5, 2: 1, 3: 1}
+
+
+def test_dedup_summary():
+    s = dedup_summary(_clusters_ds())
+    assert s.loc[0, "n_docs"] == 10
+    assert s.loc[0, "n_clusters"] == 7
+    assert s.loc[0, "n_removed"] == 3
+
+
+def _events_ds():
+    rows = []
+    for uid, base in ((1, 0), (2, 10_000)):
+        for i in range(5):
+            rows.append({"event_id": len(rows), "user_id": uid,
+                         "ts": (base + i * 10) * 1_000_000,
+                         "event_type": "click", "value": 1.0})
+        # second session after a large gap
+        rows.append({"event_id": len(rows), "user_id": uid,
+                     "ts": (base + 10_000_000) * 1_000_000,
+                     "event_type": "click", "value": 2.0})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_tumbling_windows():
+    out = tumbling_window_counts(_events_ds(), window_s=100).to_pandas()
+    assert out["n"].sum() == 12
+    # the 5 dense events of user 1 land in the same 100s window
+    assert out["n"].max() >= 5
+
+
+def test_session_windows():
+    out = session_windows(_events_ds(), gap_s=60).to_pandas()
+    per_user = out.groupby("user_id").size()
+    assert per_user[1] == 2 and per_user[2] == 2
+    first = out[(out["user_id"] == 1)].sort_values("session_start")
+    assert list(first["n_events"]) == [5, 1]
+    assert list(first["sum_value"]) == [5.0, 2.0]
+
+
+def test_media_decode_plumbing():
+    media = ray.data.from_arrow(synth_media(40, seed=3))
+    out = decode_media(media, seed=1, batch_size=8, concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 40
+    assert df["decoded_ok"].all()
+    v = np.asarray(df["feature"].iloc[0])
+    assert v.shape == (FEATURE_DIM,)
+    # deterministic: same payload + seed -> same feature
+    df2 = decode_media(ray.data.from_arrow(synth_media(40, seed=3)),
+                       seed=1, batch_size=8, concurrency=2).to_pandas()
+    assert np.allclose(np.stack(df["feature"].map(np.asarray)),
+                       np.stack(df2["feature"].map(np.asarray)))
+
+
+def test_media_meta_stats():
+    media = ray.data.from_arrow(synth_media(60, seed=4))
+    stats = media_meta_stats(media).to_pandas()
+    assert set(stats["kind"]) <= {"image", "audio", "video"}
+    assert stats["n"].sum() == 60
+    assert (stats["max_bytes"] >= stats["avg_bytes"]).all()
+
+
+def test_ngram_jaccard_exact():
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox leaps over the lazy dog"
+    j = ngram_jaccard(a, b, n=3)
+    assert 0.0 < j < 1.0
+    assert ngram_jaccard(a, a, n=3) == 1.0
+    assert ngram_jaccard(a, "totally different words entirely", 3) == 0.0
+
+
+def test_ngram_near_dup_pipeline(cfg):
+    base = " ".join(f"word{i:03d}" for i in range(300))
+    edited = base.replace("word150", "EDITED").replace("word222", "CHANGED")
+    texts = {
+        "d1": base,
+        "d2": edited,
+        "d3": " ".join(f"other{i:03d}" for i in range(300)),
+    }
+    from miekki_ray.functions.hashing import doc_hash
+    docs = pa.table({
+        "conv_id": pa.array(list(texts), type=pa.string()),
+        "doc": pa.array(list(texts.values()), type=pa.large_string()),
+        "doc_hash": pa.array(
+            doc_hash([t.encode() for t in texts.values()]),
+            type=pa.uint64()),
+    })
+    out = ngram_near_dup_pairs(ray.data.from_arrow(docs), cfg).to_pandas()
+    found = {(a, b): v for a, b, v in zip(out["a"], out["b"],
+                                          out["verified"])}
+    assert found.get(("d1", "d2")) is True
+    assert ("d1", "d3") not in found or not found[("d1", "d3")]
