@@ -60,6 +60,10 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     # materializing the b-times larger band-row table.
     from miekki_ray.stages.exact import drop_losers, exact_dedup_slim
 
+    # (Overlapping the exact-dedup and sketch executions with driver
+    # threads was tried: two concurrent streaming executors contend for
+    # the same CPU budget and the combined phase comes out SLOWER than
+    # running them sequentially.)
     docs = reconstruct_docs(turns, cfg).materialize()
     exact_edges, losers = exact_dedup_slim(docs, cfg)
     unique_docs = drop_losers(docs, losers)
