@@ -1,7 +1,14 @@
 """Text-analysis kernels for large-scale training-data pipelines:
-language-ID (n-gram heuristic), quality scoring, token counting, and
-document fingerprinting (rolling hash). All vectorized/pandas-string based;
-compiled patterns live at module scope (built once per worker process).
+language-ID (stopword-profile heuristic), quality scoring, token counting,
+and document fingerprinting (rolling hash). All vectorized/pandas-string
+based; compiled patterns live at module scope (built once per worker
+process).
+
+Character classes are pinned to EXPLICIT ASCII sets so the Python kernels
+and their DuckDB (RE2) oracles in __ray_entry__.oracle_sql agree byte-for-
+byte: Python's \\s and \\w are Unicode-aware while RE2's are ASCII, and
+DuckDB trim() strips only spaces — texts containing NBSP or other Unicode
+whitespace would otherwise hash-mismatch.
 """
 
 from __future__ import annotations
@@ -12,7 +19,11 @@ import numpy as np
 import pandas as pd
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace only (see module docstring / oracle pairing)
+_ASCII_WS = " \t\n\r\f\v"
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_WORD_RE = re.compile(r"[a-zA-Z']+")
+_LANG_WORD_RE = re.compile(r"[a-zA-Zäöüéèàç']+")
 
 # tiny per-language stopword profiles (public common-word lists) for the
 # n-gram/stopword language heuristic — deliberately simple & deterministic
@@ -26,6 +37,8 @@ _LANG_PROFILES: dict[str, frozenset[str]] = {
     "es": frozenset("el la los las y es un una de que para en no con por"
                     .split()),
 }
+# tie-break order (first profile reaching the max count wins)
+_LANG_ORDER = ("en", "de", "fr", "es")
 
 
 def token_count(texts: pd.Series) -> np.ndarray:
@@ -34,7 +47,9 @@ def token_count(texts: pd.Series) -> np.ndarray:
 
 
 def whitespace_token_count(texts: pd.Series) -> np.ndarray:
-    t = texts.fillna("").str.strip()
+    """ASCII-whitespace-delimited token count (oracle: DuckDB
+    string_split_regex with the same class after the same trim)."""
+    t = texts.fillna("").str.strip(_ASCII_WS)
     n = t.str.count(_WS_RE).to_numpy(dtype=np.int64) + 1
     n[t.str.len().to_numpy() == 0] = 0
     return n
@@ -42,58 +57,83 @@ def whitespace_token_count(texts: pd.Series) -> np.ndarray:
 
 def quality_scores(texts: pd.Series) -> pd.DataFrame:
     """Heuristic quality features: length, alpha ratio, punct ratio,
-    stopword ratio (en), mean word length, all-caps ratio."""
+    stopword ratio (en), mean word length, all-caps ratio. Float ratios are
+    rounded to 6 decimals (hash-stable vs the DuckDB oracle)."""
     t = texts.fillna("")
     n_chars = t.str.len().to_numpy(dtype=np.int64)
     n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
-    n_punct = t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
-    n_upper = t.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
-    words = t.str.findall(r"[a-zA-Z']+")
-    n_words = words.str.len().to_numpy(dtype=np.int64)
-    stop = _LANG_PROFILES["en"]
-    n_stop = words.map(
-        lambda ws: sum(1 for w in ws if w.lower() in stop)).to_numpy(
+    # ASCII punct-ish: not word (ASCII), not ASCII whitespace
+    n_punct = t.str.count(r"[^A-Za-z0-9_ \t\n\r\f\v]").to_numpy(
         dtype=np.int64)
-    mean_wlen = words.map(
-        lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
-    ).to_numpy(dtype=np.float64)
+    n_upper = t.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
+    words = t.str.findall(_WORD_RE)
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    # vectorized stopword + word-length accounting via a single explode
+    ex = words.explode().dropna()
+    if len(ex):
+        low = ex.str.lower()
+        stop_hits = low.isin(_LANG_PROFILES["en"]).groupby(level=0).sum()
+        wlen_sum = ex.str.len().groupby(level=0).sum()
+        n_stop = stop_hits.reindex(t.index, fill_value=0).to_numpy(
+            dtype=np.int64)
+        sum_wlen = wlen_sum.reindex(t.index, fill_value=0).to_numpy(
+            dtype=np.int64)
+    else:
+        n_stop = np.zeros(len(t), dtype=np.int64)
+        sum_wlen = np.zeros(len(t), dtype=np.int64)
     safe = np.maximum(n_chars, 1)
+    safe_w = np.maximum(n_words, 1)
+    mean_wlen = np.where(n_words > 0, sum_wlen / safe_w, 0.0)
     return pd.DataFrame({
         "n_chars": n_chars,
         "n_words": n_words,
-        "alpha_ratio": n_alpha / safe,
-        "punct_ratio": n_punct / safe,
-        "upper_ratio": n_upper / safe,
-        "stopword_ratio": n_stop / np.maximum(n_words, 1),
-        "mean_word_len": mean_wlen,
+        "alpha_ratio": np.round(n_alpha / safe, 6),
+        "punct_ratio": np.round(n_punct / safe, 6),
+        "upper_ratio": np.round(n_upper / safe, 6),
+        "stopword_ratio": np.round(n_stop / safe_w, 6),
+        "mean_word_len": np.round(mean_wlen, 6),
     })
 
 
 def lang_id(texts: pd.Series) -> pd.Series:
     """Stopword-profile language guess; 'und' (undetermined) when no
-    profile scores > 0."""
-    def one(s: str) -> str:
-        ws = [w.lower() for w in re.findall(r"[a-zA-Zäöüéèàç']+", s or "")]
-        if not ws:
-            return "und"
-        best, best_n = "und", 0
-        for lang, prof in _LANG_PROFILES.items():
-            n = sum(1 for w in ws if w in prof)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
-
-    return texts.map(one)
+    profile scores > 0. Vectorized: one findall + explode, then a per-
+    profile isin/groupby — no per-row Python."""
+    t = texts.fillna("")
+    words = t.str.findall(_LANG_WORD_RE)
+    ex = words.explode().dropna()
+    counts = np.zeros((len(t), len(_LANG_ORDER)), dtype=np.int64)
+    if len(ex):
+        low = ex.str.lower()
+        for j, lang in enumerate(_LANG_ORDER):
+            hits = low.isin(_LANG_PROFILES[lang]).groupby(level=0).sum()
+            counts[:, j] = hits.reindex(t.index, fill_value=0).to_numpy(
+                dtype=np.int64)
+    # first profile (in _LANG_ORDER) attaining the max, 'und' if max == 0
+    best = np.argmax(counts, axis=1)          # argmax keeps FIRST max
+    langs = np.array(_LANG_ORDER, dtype=object)
+    out = np.where(counts.max(axis=1) > 0, langs[best], "und")
+    return pd.Series(out, index=t.index, dtype=object)
 
 
 def doc_fingerprint(texts: pd.Series, window: int = 64) -> np.ndarray:
     """Winnowing-style fingerprint: min rolling-hash over `window`-byte
     shingles — a compact 64-bit content id robust to small local edits at
-    the ends (public: Schleimer et al. winnowing, simplified to global min)."""
+    the ends (public: Schleimer et al. winnowing, simplified to global
+    min). Batch path: one concatenated rolling-hash pass + one
+    minimum.reduceat — no per-doc Python hashing loop."""
     from miekki_ray.functions.hashing import shingle_hashes
 
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, s in enumerate(texts.fillna("")):
-        h = shingle_hashes(s.encode("utf-8"), window)
-        out[i] = h.min() if h.size else np.uint64(0)
+    enc = [s.encode("utf-8") for s in texts.fillna("")]
+    n = len(enc)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    sets = [shingle_hashes(e, window) for e in enc]
+    sizes = np.array([s.size for s in sets], dtype=np.int64)
+    nonempty = sizes > 0
+    if nonempty.any():
+        concat = np.concatenate([s for s in sets if s.size])
+        offsets = np.concatenate(([0], np.cumsum(sizes[nonempty])[:-1]))
+        out[nonempty] = np.minimum.reduceat(concat, offsets)
     return out

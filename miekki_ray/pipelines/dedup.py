@@ -105,9 +105,14 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     if out_dir is None:
         return dedup_datasets(turns, cfg)
 
-    from miekki_ray.state.manifest import StageRunner
+    from miekki_ray.state.manifest import StageRunner, input_fingerprint
     r = StageRunner(out_dir, cfg.config_hash())
-    docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg))
+    # root-stage input identity: a different corpus at the same out_dir+cfg
+    # must invalidate the docs checkpoint (and transitively everything)
+    in_fp = (input_fingerprint(turns_path)
+             if not isinstance(turns_path, ray.data.Dataset) else None)
+    docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
+                         input_fp=in_fp)
     uniq, d_uniq = r.run(
         "unique_docs", lambda: exact_dedup(docs, cfg)[0], upstream_dir=d_docs)
     ex_edges, d_ex = r.run(

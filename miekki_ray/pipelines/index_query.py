@@ -42,12 +42,15 @@ def _tag_side(ds: ray.data.Dataset, side: str) -> ray.data.Dataset:
 
 def _emit_cross_pairs(cfg: DedupConfig):
     pair_cap = cfg.pair_cap
+    prefix_cap = cfg.prefix_pair_cap
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
         t = group.sort_values("bucket_key", kind="mergesort")
         keys = t["bucket_key"].to_numpy(dtype=np.int64)
         ids = t["conv_id"].to_numpy(dtype=object)
         sides = t["side"].to_numpy(dtype=object)
+        pband = (t["pband"].to_numpy(dtype=bool)
+                 if "pband" in t.columns else np.zeros(len(t), dtype=bool))
         change = np.flatnonzero(
             np.concatenate(([True], keys[1:] != keys[:-1])))
         bounds = np.append(change, keys.size)
@@ -60,13 +63,16 @@ def _emit_cross_pairs(cfg: DedupConfig):
             i_ids = np.unique(g_ids[g_sides == "i"].astype(str))
             if not q_ids.size or not i_ids.size:
                 continue
+            # prefix-sketch mega-buckets (shared boilerplate openings) get
+            # the tight prefix cap, mirroring candidates._emit_pairs_partition
+            cap = prefix_cap if pband[s] else pair_cap
             n_cross = q_ids.size * i_ids.size
             qi, ii = np.meshgrid(np.arange(q_ids.size),
                                  np.arange(i_ids.size), indexing="ij")
             qi, ii = qi.ravel(), ii.ravel()
-            if n_cross > pair_cap:
+            if n_cross > cap:
                 rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
-                pick = rng.choice(n_cross, size=pair_cap, replace=False)
+                pick = rng.choice(n_cross, size=cap, replace=False)
                 qi, ii = qi[pick], ii[pick]
             out_q.append(q_ids[qi])
             out_i.append(i_ids[ii])

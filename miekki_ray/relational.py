@@ -188,12 +188,39 @@ def documents_exact_keep_first(sf_dir: str):
             .select_columns(["doc_id"]).sort("doc_id"))
 
 
+def _text_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append a 128-bit content key (two independently-seeded 64-bit
+    hashes) so downstream joins/groupbys ship 16 bytes instead of the
+    document text. Collision probability ~2^-128-scale — safe at any
+    corpus size the spec envelope names."""
+    t = batch[col].to_pandas().astype(str)
+    h1 = pd.util.hash_pandas_object(t, index=False,
+                                    hash_key="miekki-h1-000000")
+    h2 = pd.util.hash_pandas_object(t, index=False,
+                                    hash_key="miekki-h2-000000")
+    out = batch.append_column(
+        "_h1", pa.array(h1.to_numpy(dtype=np.uint64).view(np.int64),
+                        type=pa.int64()))
+    return out.append_column(
+        "_h2", pa.array(h2.to_numpy(dtype=np.uint64).view(np.int64),
+                        type=pa.int64()))
+
+
 def documents_dup_clusters(sf_dir: str):
-    """Exact-dup cluster table: (doc_id, cluster_id = min doc_id of text)."""
+    """Exact-dup cluster table: (doc_id, cluster_id = min doc_id of text).
+
+    The join key is a 128-bit text hash, NOT the text itself — the full
+    document text never crosses the join shuffle (it would be shipped twice
+    per doc otherwise; the SQL oracle joins on text and agrees modulo hash
+    collisions, see _text_hash128)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    reps = ds.groupby("text").aggregate(Min("doc_id", alias_name="cluster_id"))
-    j = ds.join(reps, join_type="inner", num_partitions=8,
-                on=("text",), right_on=("text",))
+    hashed = ds.map_batches(_text_hash128, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .select_columns(["doc_id", "_h1", "_h2"])
+    reps = hashed.groupby(["_h1", "_h2"]).aggregate(
+        Min("doc_id", alias_name="cluster_id"))
+    j = hashed.join(reps, join_type="inner", num_partitions=8,
+                    on=("_h1", "_h2"), right_on=("_h1", "_h2"))
     return j.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
 
 
@@ -203,9 +230,17 @@ def documents_lang_counts(sf_dir: str):
 
 
 def documents_distinct_count(sf_dir: str):
+    """A4 distinct count, fully distributed: texts are hashed to a 128-bit
+    key in map_batches, the groupby shuffles 16-byte keys (never text), and
+    only the scalar count reaches the driver — no driver-side list of every
+    distinct document (that would be corpus-scale at 100 TB)."""
     ds = _read(sf_dir, "documents", ["text"])
-    n = ds.unique("text")
-    return pd.DataFrame({"n_distinct": [len(n)]})
+    hashed = ds.map_batches(_text_hash128, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .select_columns(["_h1", "_h2"])
+    n = hashed.groupby(["_h1", "_h2"]).aggregate(Count(alias_name="c")) \
+              .count()
+    return pd.DataFrame({"n_distinct": [n]})
 
 
 def union_sources(sf_dir: str):

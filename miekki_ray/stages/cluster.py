@@ -192,13 +192,15 @@ def assign_clusters(docs: ray.data.Dataset, comp_map: dict[str, str]
 
     def f(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
-        ids = batch["conv_id"].to_pylist()
-        cl = [m.get(c, c) for c in ids]
+        ids = pd.Series(batch["conv_id"].to_pandas(), copy=False).astype(str)
+        # vectorized dict lookup: Series.map hits the hash table at C speed;
+        # unmapped ids (singletons) fall back to themselves
+        cl = ids.map(m)
+        cl = cl.fillna(ids)
         return pa.table({
-            "conv_id": pa.array(ids, type=pa.string()),
-            "cluster_id": pa.array(cl, type=pa.string()),
-            "is_rep": pa.array([c == k for c, k in zip(ids, cl)],
-                               type=pa.bool_()),
+            "conv_id": pa.array(ids.to_numpy(), type=pa.string()),
+            "cluster_id": pa.array(cl.to_numpy(), type=pa.string()),
+            "is_rep": pa.array((ids == cl).to_numpy(), type=pa.bool_()),
         })
 
     return docs.select_columns(["conv_id"]).map_batches(

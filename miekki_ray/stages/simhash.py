@@ -41,6 +41,32 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def simhash_batch(hash_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit simhash for a BATCH of shingle-hash sets in one vectorized
+    pass: per bit position, per-doc vote totals via np.add.reduceat over the
+    concatenated hash array (64 passes over one 1D array — no per-doc
+    Python loop, no (M, 64) bit-matrix temporary)."""
+    n = len(hash_sets)
+    sigs = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return sigs
+    sizes = np.array([h.size for h in hash_sets], dtype=np.int64)
+    nonempty = sizes > 0
+    if not nonempty.any():
+        return sigs
+    concat = np.concatenate([h for h in hash_sets if h.size])
+    offsets = np.concatenate(([0], np.cumsum(sizes[nonempty])[:-1]))
+    ne_sizes = sizes[nonempty]
+    votes_sig = np.zeros(nonempty.sum(), dtype=np.uint64)
+    for j in range(64):
+        bit = ((concat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, offsets)
+        votes_sig |= ((2 * ones > ne_sizes).astype(np.uint64)
+                      << np.uint64(j))
+    sigs[nonempty] = votes_sig
+    return sigs
+
+
 class SimHasher:
     """Actor-pool UDF: docs batch -> + simhash:uint64 column."""
 
@@ -49,9 +75,9 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.cfg.k
-        sigs = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, d in enumerate(batch["doc"].to_pylist()):
-            sigs[i] = simhash_from_hashes(shingle_hashes(d.encode("utf-8"), k))
+        sets = [shingle_hashes(d.encode("utf-8"), k)
+                for d in batch["doc"].to_pylist()]
+        sigs = simhash_batch(sets)
         return batch.append_column("simhash",
                                    pa.array(sigs, type=pa.uint64()))
 
@@ -118,7 +144,32 @@ def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
         part = (batch["block_key"].to_numpy() % P).astype(np.int32)
         return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
-    return (simmed.map_batches(explode, batch_format="pyarrow",
-                               zero_copy_batch=True)
-            .map_batches(add_part, batch_format="pyarrow")
-            .groupby("_part").map_groups(emit, batch_format="pandas"))
+    per_block = (simmed.map_batches(explode, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .map_batches(add_part, batch_format="pyarrow")
+                 .groupby("_part").map_groups(emit, batch_format="pandas"))
+
+    # a pair sharing MULTIPLE 16-bit blocks surfaces once per agreeing
+    # block, in different block_key partitions — the per-partition
+    # drop_duplicates above cannot see those twins. Global distinct:
+    # re-partition by hash(a, b) so all copies of a pair meet once.
+    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 or "a" not in batch.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str),
+                                 "_p": pd.Series([], dtype=np.int32)})
+        h = pd.util.hash_pandas_object(
+            batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
+            index=False).to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
+        return batch
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "a" not in group.columns:
+            return pd.DataFrame({"a": pd.Series([], dtype=str),
+                                 "b": pd.Series([], dtype=str)})
+        return group.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    return (per_block.map_batches(add_pair_part, batch_format="pandas")
+            .groupby("_p").map_groups(uniq, batch_format="pandas"))

@@ -18,18 +18,18 @@ import ray
 import ray.data
 
 
-def _mat(batch: pa.Table, col: str) -> np.ndarray:
+def _mat(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_fixed_size_list(arr.type):
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(len(arr), arr.type.list_size).astype(
-            np.float32, copy=False)
+            dtype, copy=False)
     offs = arr.offsets.to_numpy()
     d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
     flat = arr.flatten().to_numpy(zero_copy_only=False)
-    return flat.reshape(-1, d).astype(np.float32, copy=False)
+    return flat.reshape(-1, d).astype(dtype, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -43,13 +43,21 @@ def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
                      vec_col: str = "embedding") -> pd.DataFrame:
     """Exact cosine top-k: per-batch matmul against the broadcast query
     matrix, per-batch partial top-k, final k-way merge on the driver.
-    Columns: query_idx, vec_id, score, rank."""
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    Columns: query_idx, vec_id, score, rank.
+
+    Scores are float64 rounded to 6 decimals and ties broken by id — the
+    output is deterministic and matches the DuckDB list_cosine_similarity
+    oracle exactly (__ray_entry__.oracle_sql)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
     qref = ray.put(qn)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:       # empty blocks occur after filters/joins
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         q = ray.get(qref)                      # (nq, d), read from plasma
-        m = _normalize(_mat(batch, vec_col))   # (nb, d)
+        m = _normalize(_mat(batch, vec_col, np.float64))   # (nb, d)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         scores = m @ q.T                       # (nb, nq)
         nb, nq = scores.shape
@@ -64,18 +72,28 @@ def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
         return pa.table({
             "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
             id_col: pa.array(np.concatenate(out_id)),
-            "score": pa.array(np.concatenate(out_s).astype(np.float32),
-                              type=pa.float32()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
         })
 
     parts = embeddings.map_batches(partial, batch_format="pyarrow",
                                    zero_copy_batch=True).to_pandas()
-    out = []
-    for qi, grp in parts.groupby("query_idx"):
-        top = grp.nlargest(k, "score").reset_index(drop=True)
-        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int32)
-        out.append(top)
-    return pd.concat(out, ignore_index=True) if out else parts
+    return _rank_topk(parts, k, id_col)
+
+
+def _rank_topk(parts: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Deterministic final merge: round scores to 6dp, rank by
+    (score desc, id asc), keep top k per query."""
+    if len(parts) == 0:
+        parts["rank"] = pd.Series([], dtype=np.int32)
+        return parts
+    parts = parts.copy()
+    parts["score"] = parts["score"].round(6)
+    parts = parts.sort_values(
+        ["query_idx", "score", id_col], ascending=[True, False, True],
+        kind="mergesort").reset_index(drop=True)
+    parts["rank"] = parts.groupby("query_idx").cumcount().astype(
+        np.int32) + 1
+    return parts[parts["rank"] <= k].reset_index(drop=True)
 
 
 class _LSHParams:
@@ -99,15 +117,19 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     bucket's candidates co-locate; here buckets filter the per-batch
     matmul, which demonstrates identical semantics with the same
     broadcast-query pattern."""
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
     d = qn.shape[1]
     params = _LSHParams(d, n_planes, seed)
-    qbuckets = params.bucket(qn)
+    qbuckets = params.bucket(qn.astype(np.float32))
     qref = ray.put((qn, qbuckets, params.planes))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:       # empty blocks occur after filters/joins
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         q, qb, planes = ray.get(qref)
-        m = _normalize(_mat(batch, vec_col))
+        m = _normalize(_mat(batch, vec_col, np.float64))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         mb = (m @ planes > 0) @ (1 << np.arange(planes.shape[1],
                                                 dtype=np.int64))
@@ -126,22 +148,58 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
         if not out_q:
             return pa.table({"query_idx": pa.array([], type=pa.int32()),
                              id_col: pa.array([], type=pa.int64()),
-                             "score": pa.array([], type=pa.float32())})
+                             "score": pa.array([], type=pa.float64())})
         return pa.table({
             "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
             id_col: pa.array(np.concatenate(out_id)),
-            "score": pa.array(np.concatenate(out_s).astype(np.float32),
-                              type=pa.float32()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
         })
 
     parts = embeddings.map_batches(partial, batch_format="pyarrow",
                                    zero_copy_batch=True).to_pandas()
-    out = []
-    for qi, grp in parts.groupby("query_idx"):
-        top = grp.nlargest(k, "score").reset_index(drop=True)
-        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int32)
-        out.append(top)
-    return pd.concat(out, ignore_index=True) if out else parts
+    return _rank_topk(parts, k, id_col)
+
+
+def embedding_pairs_exact(embeddings: ray.data.Dataset,
+                          threshold: float = 0.4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> ray.data.Dataset:
+    """EXACT cosine pair enumeration (the brute-force near-dup baseline,
+    oracle-checkable against DuckDB list_cosine_similarity): the full
+    normalized matrix is broadcast ONCE via ray.put and every batch matmuls
+    against it, emitting (a, b, cosine) with a < b and cosine >= threshold.
+
+    Deliberately O(n²) compute distributed over batches — the accuracy
+    baseline for the LSH-bucketed ``embedding_near_dups`` scale path. Use
+    only when the corpus matrix fits in the object store (n·d·8 bytes);
+    beyond that, the LSH path is the answer."""
+    full = embeddings.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy(dtype=np.int64)
+    m_all = _normalize(np.stack(
+        full[vec_col].map(np.asarray).to_list()).astype(np.float64))
+    ref = ray.put((ids_all, m_all))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        all_ids, all_m = ray.get(ref)
+        m = _normalize(_mat(batch, vec_col, np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = m @ all_m.T                       # (nb, n)
+        # strictly-upper triangle by GLOBAL id: batch row a pairs with all
+        # corpus rows b where a < b — each unordered pair emitted exactly once
+        keep = (s >= threshold) & (ids[:, None] < all_ids[None, :])
+        bi, ci = np.nonzero(keep)
+        return pa.table({
+            "a": pa.array(ids[bi], type=pa.int64()),
+            "b": pa.array(all_ids[ci], type=pa.int64()),
+            "cosine": pa.array(np.round(s[bi, ci], 6), type=pa.float64()),
+        })
+
+    return embeddings.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float = 0.98,
@@ -179,14 +237,14 @@ def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float = 0.98,
             if len(grp) < 2:
                 continue
             m = _normalize(np.stack(
-                grp[vec_col].map(np.asarray).to_list()).astype(np.float32))
+                grp[vec_col].map(np.asarray).to_list()).astype(np.float64))
             ids = grp[id_col].to_numpy()
             s = m @ m.T
             ii, jj = np.triu_indices(len(ids), k=1)
             keep = s[ii, jj] >= threshold
             out_a.append(np.minimum(ids[ii[keep]], ids[jj[keep]]))
             out_b.append(np.maximum(ids[ii[keep]], ids[jj[keep]]))
-            out_c.append(s[ii, jj][keep])
+            out_c.append(np.round(s[ii, jj][keep], 6))
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),

@@ -39,8 +39,38 @@ def manifest_hash(stage_dir: str) -> str | None:
         return hashlib.blake2b(f.read(), digest_size=16).hexdigest()
 
 
+def input_fingerprint(paths) -> str:
+    """Identity of a ROOT stage's input: file paths + sizes + mtimes,
+    hashed. Without this, a re-run against a DIFFERENT corpus but the same
+    out_dir + config would silently reuse the stale root checkpoint."""
+    if isinstance(paths, str):
+        paths = [paths]
+    entries = []
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                fp = os.path.join(p, f)
+                if os.path.isfile(fp):
+                    st = os.stat(fp)
+                    entries.append((fp, st.st_size, int(st.st_mtime_ns)))
+        elif os.path.isfile(p):
+            st = os.stat(p)
+            entries.append((p, st.st_size, int(st.st_mtime_ns)))
+        else:
+            entries.append((str(p), -1, -1))
+    blob = json.dumps(entries, sort_keys=True).encode()
+    return hashlib.blake2b(blob, digest_size=16).hexdigest()
+
+
 def manifest_valid(stage_dir: str, config_hash: str,
-                   upstream_hash: str | None) -> bool:
+                   upstream_hash: str | None,
+                   upstream_required: bool = False,
+                   input_fp: str | None = None) -> bool:
+    """A checkpoint is reusable iff its manifest parses AND config hash,
+    upstream manifest hash, and (for root stages) the input fingerprint all
+    match. ``upstream_required=True`` with a missing upstream manifest
+    (upstream_hash None) invalidates — an orphaned downstream checkpoint
+    must not validate against a vanished upstream."""
     p = _manifest_path(stage_dir)
     if not os.path.exists(p):
         return False
@@ -51,7 +81,11 @@ def manifest_valid(stage_dir: str, config_hash: str,
         return False
     if m.get("config_hash") != config_hash:
         return False
+    if upstream_required and upstream_hash is None:
+        return False
     if upstream_hash is not None and m.get("upstream_hash") != upstream_hash:
+        return False
+    if input_fp is not None and m.get("input_fingerprint") != input_fp:
         return False
     # per-partition check: every listed file still on disk
     for part in m.get("partitions", []):
@@ -62,7 +96,8 @@ def manifest_valid(stage_dir: str, config_hash: str,
 
 def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
                 config_hash: str, upstream_hash: str | None = None,
-                metrics: dict | None = None) -> str:
+                metrics: dict | None = None,
+                input_fp: str | None = None) -> str:
     """Write stage output + manifest (manifest LAST, atomic tmp+rename).
     Returns the stage directory."""
     stage_dir = os.path.join(out_dir, stage)
@@ -87,6 +122,7 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
         "stage": stage,
         "config_hash": config_hash,
         "upstream_hash": upstream_hash,
+        "input_fingerprint": input_fp,
         "partitions": parts,
         "total_rows": total,
         "metrics": metrics or {},
@@ -119,14 +155,17 @@ class StageRunner:
         self.ran: list[str] = []
         self.skipped: list[str] = []
 
-    def run(self, stage: str, fn, upstream_dir: str | None = None
-            ) -> tuple[ray.data.Dataset, str]:
+    def run(self, stage: str, fn, upstream_dir: str | None = None,
+            input_fp: str | None = None) -> tuple[ray.data.Dataset, str]:
         stage_dir = os.path.join(self.out_dir, stage)
         up_hash = manifest_hash(upstream_dir) if upstream_dir else None
-        if manifest_valid(stage_dir, self.config_hash, up_hash):
+        if manifest_valid(stage_dir, self.config_hash, up_hash,
+                          upstream_required=upstream_dir is not None,
+                          input_fp=input_fp):
             self.skipped.append(stage)
             return read_stage(stage_dir), stage_dir
         ds = fn()
-        write_stage(ds, self.out_dir, stage, self.config_hash, up_hash)
+        write_stage(ds, self.out_dir, stage, self.config_hash, up_hash,
+                    input_fp=input_fp)
         self.ran.append(stage)
         return read_stage(stage_dir), stage_dir
