@@ -130,12 +130,19 @@ def _simhash_pairs(sf_dir: str):
 
 
 def _embedding_near_dups(sf_dir: str):
+    import numpy as np
+    import pandas as pd
     import ray.data
 
     from miekki_ray.stages.similarity import embedding_near_dups
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.98)
+    out = embedding_near_dups(emb, threshold=0.98).to_pandas()
+    if out.empty:     # empty Datasets lose their schema through groupbys
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "cosine": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _ann_bruteforce(sf_dir: str):
@@ -164,6 +171,62 @@ def _ann_lsh(sf_dir: str):
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in head["embedding"].to_pylist()])
     return lsh_topk(emb, q, k=10)
+
+
+def _embedding_pairs_exact(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.similarity import embedding_pairs_exact
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_pairs_exact(emb, threshold=0.4).sort(["a", "b"])
+
+
+def _parity_split(sf_dir: str):
+    """Deterministic split of the documents-as-turns corpus by doc_id
+    parity (conv_id is the zero-padded doc_id): (odd, even)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miekki_ray.adapter import documents_as_turns
+
+    def flt(want_odd: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.array([int(c) for c in batch["conv_id"].to_pylist()],
+                           dtype=np.int64)
+            mask = (ids % 2 == 1) == want_odd
+            return batch.filter(pa.array(mask))
+        return f
+
+    turns = documents_as_turns(sf_dir)
+    odd = turns.map_batches(flt(True), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    even = turns.map_batches(flt(False), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return odd, even
+
+
+def _index_query_matches(sf_dir: str):
+    """§3.1 query-vs-index over a deterministic parity split of the
+    documents table: odd doc_ids query, even doc_ids index."""
+    from miekki_ray.pipelines.index_query import match_query_vs_index
+
+    q, i = _parity_split(sf_dir)
+    out = match_query_vs_index(q, i, _cfg())
+    return out.select_columns(
+        ["query_id", "index_id", "verified", "contained"]) \
+        .sort(["query_id", "index_id"])
+
+
+def _incremental_clusters(sf_dir: str):
+    """D4 incremental dedup: even doc_ids are the existing (kept) corpus,
+    odd doc_ids arrive as the new batch."""
+    from miekki_ray.pipelines.incremental import dedup_incremental
+
+    new, kept = _parity_split(sf_dir)
+    return dedup_incremental(new, kept, _cfg()) \
+        .select_columns(["conv_id", "cluster_id", "is_new_cluster"]) \
+        .sort("conv_id")
 
 
 # ----------------------------------------------------- text analysis queries
@@ -356,8 +419,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         # similarity / embeddings
         "embedding_near_dups": _embedding_near_dups,
+        "embedding_pairs_exact": _embedding_pairs_exact,
         "ann_topk_bruteforce": _ann_bruteforce,
         "ann_topk_lsh": _ann_lsh,
+        # query-vs-index + incremental pipelines (rows-only)
+        "index_query_matches": _index_query_matches,
+        "incremental_clusters": _incremental_clusters,
         # windows / stats (SQL-oracled)
         "events_tumbling": _events_tumbling,
         "events_sessions": _events_sessions,
@@ -461,12 +528,126 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY conv_id ORDER BY conv_id
         """,
+        # ASCII whitespace pinned on BOTH sides (Python kernel strips/counts
+        # the same explicit class) — RE2 \s is ASCII but trim() is
+        # space-only, so both are spelled out
         "doc_token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                 || chr(12) || chr(11)) = '' THEN 0
+                        ELSE len(string_split_regex(
+                                 trim(text, ' ' || chr(9) || chr(10)
+                                      || chr(13) || chr(12) || chr(11)),
+                                 '[ \t\n\r\f\v]+'))
                    END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                           AS n_alpha,
+                       length(regexp_replace(text,
+                               '[A-Za-z0-9_ \t\n\r\f\v]', '', 'g'))
+                           AS n_punct,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           AS n_upper,
+                       regexp_extract_all(text, '[a-zA-Z'']+') AS words
+                FROM documents
+            ), agg AS (
+                SELECT doc_id, n_chars, n_alpha, n_punct, n_upper,
+                       len(words) AS n_words,
+                       len(list_filter(words, x -> list_contains(
+                           ['the','of','and','to','in','a','is','that','it',
+                            'for','was','on','are','as','with'], lower(x))))
+                           AS n_stop,
+                       coalesce(list_sum(list_transform(words,
+                                x -> length(x))), 0) AS sum_wlen
+                FROM w
+            )
+            SELECT doc_id, n_chars, n_words,
+                   round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(n_upper / greatest(n_chars, 1), 6) AS upper_ratio,
+                   round(n_stop / greatest(n_words, 1), 6) AS stopword_ratio,
+                   round(CASE WHEN n_words > 0
+                              THEN sum_wlen / n_words ELSE 0.0 END, 6)
+                       AS mean_word_len
+            FROM agg ORDER BY doc_id
+        """,
+        "doc_langid": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text,
+                           '[a-zA-Zäöüéèàç'']+'), x -> lower(x)) AS words
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(list_filter(words, x -> list_contains(
+                           ['the','of','and','to','in','a','is','that','it',
+                            'for','was','on','are','as','with'], x))) AS n_en,
+                       len(list_filter(words, x -> list_contains(
+                           ['der','die','das','und','ist','nicht','ein',
+                            'eine','zu','mit','von','für','auf'], x))) AS n_de,
+                       len(list_filter(words, x -> list_contains(
+                           ['le','la','les','et','est','un','une','de','des',
+                            'que','pour','dans','sur','pas'], x))) AS n_fr,
+                       len(list_filter(words, x -> list_contains(
+                           ['el','la','los','las','y','es','un','una','de',
+                            'que','para','en','no','con','por'], x))) AS n_es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0
+                             THEN 'und'
+                        WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es
+                             THEN 'en'
+                        WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+                        WHEN n_fr >= n_es THEN 'fr'
+                        ELSE 'es' END AS lang_guess
+            FROM c ORDER BY doc_id
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id < 5
+            ), s AS (
+                SELECT CAST(q.qid AS INTEGER) AS query_idx, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])), 6) AS score
+                FROM q CROSS JOIN embeddings e
+            ), r AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_idx
+                    ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+                FROM s
+            )
+            SELECT query_idx, vec_id, score, rank FROM r WHERE rank <= 10
+            ORDER BY query_idx, rank
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.4
+            ORDER BY a, b
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= 0.98
+            ORDER BY a, b
         """,
         "events_tumbling": """
             SELECT event_type,
