@@ -55,6 +55,19 @@ class DedupConfig:
     doc_len_cap: int = 1_000_000  # bytes of joined doc fed to the sketcher (§7 hard part 5)
     role_sep: str = "\x1f"        # role<sep>text within a turn
     turn_sep: str = "\x1e"        # between turns in the joined doc
+    # M1: normalize the INTERNAL sketch/doc representation (\r\n -> \n +
+    # NFC) so trivially-reformatted variants of a conversation dedup
+    # together. The raw `text` column is never touched (the spec's per-turn
+    # byte-equality invariant) — only the assembled `doc` string changes.
+    normalize_docs: bool = False
+
+    # --- scale auto-switches (SURVEY.md §4.3) ---
+    # above these sizes the driver-side/broadcast variants are replaced by
+    # fully-distributed ones; the defaults keep the fast small-corpus paths
+    # for every sandbox run while tests pin tiny limits to exercise the
+    # scale paths and assert identical output
+    broadcast_loser_limit: int = 2_000_000   # exact-dup losers broadcastable
+    driver_edge_limit: int = 2_000_000       # verified edges driver-UF-able
 
     # --- physical execution ---
     num_partitions: int = 64      # shuffle width for groupby stages
@@ -81,8 +94,11 @@ class DedupConfig:
         manifest so resume invalidates on config change [spec BASELINE.json:14]."""
         d = asdict(self)
         # physical knobs don't change results; exclude them from the hash
+        # (the scale auto-switch thresholds route between implementations
+        # that are asserted identical — tests/test_cluster.py)
         for phys in ("num_partitions", "sketch_batch_size", "sketch_concurrency",
-                     "verify_batch_size"):
+                     "verify_batch_size", "broadcast_loser_limit",
+                     "driver_edge_limit"):
             d.pop(phys)
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.blake2b(blob, digest_size=16).hexdigest()

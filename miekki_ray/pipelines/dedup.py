@@ -65,8 +65,17 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     # the same CPU budget and the combined phase comes out SLOWER than
     # running them sequentially.)
     docs = reconstruct_docs(turns, cfg).materialize()
-    exact_edges, losers = exact_dedup_slim(docs, cfg)
-    unique_docs = drop_losers(docs, losers)
+    exact_edges, losers_ds = exact_dedup_slim(docs, cfg)
+    n_losers = losers_ds.count()
+    if n_losers <= cfg.broadcast_loser_limit:
+        losers = losers_ds.to_pandas() if n_losers else None
+        unique_docs = (drop_losers(docs, losers)
+                       if losers is not None else docs)
+    else:
+        # scale switch (J4): the loser set is too big to broadcast — take
+        # the full exact_dedup path instead (one doc_hash shuffle of the
+        # doc text, no driver-side loser state). Same unique set.
+        unique_docs, _ = exact_dedup(docs, cfg)
     sketched = (sketch_docs(unique_docs, cfg)
                 .select_columns(["conv_id", "doc_hash", "sig", "psig"])
                 .materialize())   # ~1.1 KB/doc, no text
@@ -84,13 +93,38 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
         verified = verify_pairs(with_docs, cfg)
     near_edges = edges_from_verified(verified)
     edges = exact_edges.union(near_edges).materialize()
-    comp = cluster_edges_driver(edges)
-    clusters = assign_clusters(docs, comp).materialize()
     metrics = sink.collect()
+    clusters, n_components = _cluster_and_assign(docs, edges, cfg)
+    clusters = clusters.materialize()
     sink.close()
-    metrics["n_components"] = len(set(comp.values()))
+    metrics["n_components"] = n_components
     return DedupResult(clusters=clusters, edges=edges, verified=verified,
                        docs=docs, metrics=metrics)
+
+
+def _cluster_and_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
+                        cfg: DedupConfig) -> tuple[ray.data.Dataset, int]:
+    """ST4 with the scale auto-switch: driver union-find + broadcast map
+    below cfg.driver_edge_limit edges; above it, distributed hash-min label
+    propagation + co-partitioned assignment (no driver edge list, no
+    broadcast component map). Both produce identical assignments
+    (tests/test_cluster.py asserts end-to-end)."""
+    n_edges = edges.count()
+    if n_edges <= cfg.driver_edge_limit:
+        comp = cluster_edges_driver(edges)
+        return assign_clusters(docs, comp), len(set(comp.values()))
+    from miekki_ray.stages.cluster import (
+        assign_clusters_ds,
+        cluster_labels_distributed,
+    )
+    from ray.data.aggregate import Count
+
+    labels = cluster_labels_distributed(edges, cfg)
+    clusters = assign_clusters_ds(docs, labels, cfg)
+    n_components = (0 if labels is None else
+                    labels.groupby("label")
+                    .aggregate(Count(alias_name="n")).count())
+    return clusters, n_components
 
 
 def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
@@ -133,9 +167,9 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     edges, d_edges = r.run(
         "edges", lambda: ex_edges.union(edges_from_verified(verified)),
         upstream_dir=d_ver)
-    comp = cluster_edges_driver(edges)
     clusters, _ = r.run(
-        "clusters", lambda: assign_clusters(docs, comp), upstream_dir=d_edges)
+        "clusters", lambda: _cluster_and_assign(docs, edges, cfg)[0],
+        upstream_dir=d_edges)
     res = DedupResult(clusters=clusters, edges=edges, verified=verified,
                       docs=docs)
     res.metrics = {"ran": r.ran, "skipped": r.skipped}

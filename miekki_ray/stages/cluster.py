@@ -101,13 +101,16 @@ def _label_fingerprint(labels: ray.data.Dataset) -> int:
     return sum(int(r["fp"]) for r in parts) % (1 << 64)
 
 
-def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
-                              max_rounds: int = 50) -> dict[str, str]:
+def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
+                               max_rounds: int = 50
+                               ) -> ray.data.Dataset | None:
     """Hash-min label propagation entirely in Ray Data groupby-min shuffles.
 
     labels(v) starts as min(v, neighbors); each round propagates the min
-    label across edges until fixpoint. Returns the same conv_id->cluster_id
-    map as the driver variant (only for ids appearing in edges).
+    label across edges until fixpoint. Returns a (node, label) Dataset for
+    the ids appearing in edges (None when there are no edges) — the
+    100-TB-scale path: labels never land on the driver; downstream
+    assignment is ``assign_clusters_ds``.
 
     The per-round state is a (node, label) Dataset — never the corpus — so
     this scales with the number of DUPLICATE docs, not corpus size. The
@@ -118,7 +121,7 @@ def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
     P = cfg.num_partitions
     e = edges.select_columns(["a", "b"]).materialize()
     if e.count() == 0:
-        return {}
+        return None
 
     # symmetric edge list (node, other, is_label=False) — static per run
     def seed(batch: pa.Table) -> pa.Table:
@@ -179,8 +182,18 @@ def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
         if fp == fp_prev:
             break
         fp_prev = fp
-    out = (cand.groupby("node").aggregate(Min("other", alias_name="label"))
-           .to_pandas())
+    return (cand.groupby("node")
+            .aggregate(Min("other", alias_name="label")).materialize())
+
+
+def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
+                              max_rounds: int = 50) -> dict[str, str]:
+    """Driver-dict rendering of ``cluster_labels_distributed`` (same
+    assignments as ``cluster_edges_driver`` — tests assert agreement)."""
+    labels = cluster_labels_distributed(edges, cfg, max_rounds)
+    if labels is None:
+        return {}
+    out = labels.to_pandas()
     return dict(zip(out["node"].astype(str), out["label"].astype(str)))
 
 
@@ -205,3 +218,68 @@ def assign_clusters(docs: ray.data.Dataset, comp_map: dict[str, str]
 
     return docs.select_columns(["conv_id"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def assign_clusters_ds(docs: ray.data.Dataset,
+                       labels: ray.data.Dataset | None,
+                       cfg: DedupConfig) -> ray.data.Dataset:
+    """Broadcast-free cluster assignment for when the component map is too
+    big to ray.put (dup-heavy corpora at 10^12-turn scale): corpus conv_ids
+    and the (node, label) table are co-partitioned by hash(id) and merged
+    per partition with one vectorized Series.map — id-width rows only, no
+    joins (Dataset.join is fragile on this Ray version), no driver state.
+
+    Output is identical to ``assign_clusters`` (tests assert it)."""
+    ids = docs.select_columns(["conv_id"])
+    if labels is None:
+        return ids.map_batches(
+            lambda b: pa.table({
+                "conv_id": b["conv_id"],
+                "cluster_id": b["conv_id"],
+                "is_rep": pa.array(np.ones(b.num_rows, dtype=bool)),
+            }), batch_format="pyarrow", zero_copy_batch=True)
+    P = cfg.num_partitions
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["conv_id"].to_pandas(), copy=False).astype(str)
+        h = pd.util.hash_pandas_object(s, index=False) \
+            .to_numpy(dtype=np.uint64)
+        return pa.table({
+            "node": pa.array(s.to_numpy(), type=pa.string()),
+            "label": pa.array([None] * batch.num_rows, type=pa.string()),
+            "is_doc": pa.array(np.ones(batch.num_rows, dtype=bool)),
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
+                              type=pa.int32()),
+        })
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["node"].to_pandas(), copy=False).astype(str)
+        h = pd.util.hash_pandas_object(s, index=False) \
+            .to_numpy(dtype=np.uint64)
+        return pa.table({
+            "node": pa.array(s.to_numpy(), type=pa.string()),
+            "label": pa.array(
+                pd.Series(batch["label"].to_pandas()).astype(str).to_numpy(),
+                type=pa.string()),
+            "is_doc": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
+                              type=pa.int32()),
+        })
+
+    mixed = ids.map_batches(tag_docs, batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        labels.map_batches(tag_labels, batch_format="pyarrow"))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group[~group["is_doc"]]
+        m = pd.Series(lab["label"].to_numpy(),
+                      index=lab["node"].to_numpy())
+        d = group[group["is_doc"]]["node"].astype(str)
+        cl = d.map(m).fillna(d)
+        return pd.DataFrame({
+            "conv_id": d.to_numpy(),
+            "cluster_id": cl.to_numpy(),
+            "is_rep": (d.to_numpy() == cl.to_numpy()),
+        })
+
+    return mixed.groupby("_part").map_groups(merge, batch_format="pandas")

@@ -51,8 +51,19 @@ def _fnv1a_batch(ids: list[str], num_partitions: int) -> np.ndarray:
 def _assemble(cfg: DedupConfig):
     role_sep, turn_sep, cap = cfg.role_sep, cfg.turn_sep, cfg.doc_len_cap
 
+    normalize = cfg.normalize_docs
+
     def assemble(group: pa.Table) -> pa.Table:
         t = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        text_col = t["text"]
+        if normalize:
+            # M1 (config-gated): canonicalize ONLY the internal doc
+            # representation — \r\n -> \n + NFC — so trivially-reformatted
+            # conversation variants get identical doc_hash/sketch. The
+            # turns table's `text` column is untouched (spec invariant).
+            text_col = pc.utf8_normalize(
+                pc.replace_substring(text_col, pattern="\r\n",
+                                     replacement="\n"), form="NFC")
         # role is tagged by its FIRST character only (u/a/t/s...): a full
         # role word like "assistant" injects ~20 near-universal k-gram
         # windows per turn boundary, polluting every doc's shingle set with
@@ -62,7 +73,7 @@ def _assemble(cfg: DedupConfig):
         pieces = pc.binary_join_element_wise(
             pc.cast(pc.utf8_slice_codeunits(t["role"], 0, 1),
                     pa.large_string()),
-            pc.cast(t["text"], pa.large_string()),
+            pc.cast(text_col, pa.large_string()),
             pa.scalar(role_sep, type=pa.large_string()),
         )
         ids = t["conv_id"].to_numpy(zero_copy_only=False)

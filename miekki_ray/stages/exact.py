@@ -62,14 +62,17 @@ def _to_edges(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
-                     ) -> tuple[ray.data.Dataset, pd.DataFrame]:
+                     ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """D1 over METADATA only: shuffles (conv_id, doc_hash) — a few bytes
     per doc instead of the full doc text — and returns
-    (exact_edges Dataset, losers DataFrame[conv_id, doc_hash]).
+    (exact_edges Dataset, losers Dataset[conv_id, doc_hash], both lazy
+    filters of one materialized tagged table).
 
     The caller filters its (already-sketched) docs table by broadcasting
-    the loser set when it is small, or anti-joining when it is not —
-    SURVEY.md §2.4 J3/J4. Semantics identical to exact_dedup."""
+    the loser set when it is small (``drop_losers``); above
+    cfg.broadcast_loser_limit the flagship switches to the full
+    ``exact_dedup`` doc_hash shuffle instead (SURVEY.md §2.4 J3/J4).
+    Semantics identical to exact_dedup."""
     slim = docs.select_columns(["conv_id", "doc_hash"])
     P = cfg.num_partitions
 
@@ -85,7 +88,7 @@ def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
     edges = (tagged.filter(expr="_is_rep == False")
              .map_batches(_to_edges, batch_format="pandas"))
     losers = (tagged.filter(expr="_is_rep == False")
-              .select_columns(["conv_id", "doc_hash"]).to_pandas())
+              .select_columns(["conv_id", "doc_hash"]))
     return edges, losers
 
 
