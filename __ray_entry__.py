@@ -31,7 +31,10 @@ def _cfg(**overrides):
     ncpu = 8
     if ray.is_initialized():
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-    kw = dict(num_partitions=max(4, min(32, ncpu)),
+    # 4x cpus partition granularity: Ray's sort-shuffle range partitioner
+    # needs more distinct key values than executors to balance (see
+    # bench.py note / BENCH/BASELINE.md r2 measurements)
+    kw = dict(num_partitions=max(8, min(128, 4 * ncpu)),
               sketch_concurrency=max(2, ncpu - 2))
     kw.update(overrides)
     return DedupConfig(**kw)

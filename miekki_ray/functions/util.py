@@ -2,8 +2,20 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import ray.data
+
+
+def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
+    """pandas -> metadata-free Arrow table for UDF returns. Pandas-backed
+    blocks carry a PandasBlockSchema (unhashable: contains lists) and
+    from_pandas attaches a pandas metadata dict (also unhashable) — either
+    defeats Ray's schema-dedup fast path in every downstream shuffle and
+    floods logs with 'Failed to hash the schemas' [env ray 2.49.2].
+    Returning clean Arrow from the UDF fixes both at the source."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False).replace_schema_metadata(None)
 
 
 def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema

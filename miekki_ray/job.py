@@ -1,0 +1,80 @@
+"""`ray job submit` entry point for the flagship dedup pipeline.
+
+[spec BASELINE.json:14] "run via ray job submit on a fixed-size multi-node
+Ray cluster". On a cluster:
+
+    ray job submit --working-dir . -- \\
+        python -m miekki_ray.job --turns s3://bucket/turns/ \\
+        --out s3://bucket/dedup-run-1/ --num-partitions 512
+
+Single node (this sandbox):
+
+    python -m miekki_ray.job --turns /root/testdata/... --out /tmp/run1
+
+The job owns its Ray session (guarded init — under `ray job submit` the
+cluster address comes from the environment). Output is checkpointed
+per-stage under --out with lineage manifests (state/manifest.py), so
+re-submitting the same job after a failure resumes past completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="miekki_ray.job",
+                                description="transcript near-dedup job")
+    p.add_argument("--turns", required=True,
+                   help="parquet path(s) of the turns table (dir or file)")
+    p.add_argument("--out", required=True,
+                   help="output/checkpoint dir (stage parquet + manifests)")
+    p.add_argument("--num-partitions", type=int, default=None,
+                   help="shuffle width (default: cluster CPU count)")
+    p.add_argument("--normalize", action="store_true",
+                   help="normalize doc representation (M1) before sketching")
+    p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--k", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()  # ray job submit / RAY_ADDRESS decides the cluster
+
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.pipelines.dedup import keep_list, run_dedup
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    overrides: dict = {
+        # 4x CPU granularity balances Ray's sort-shuffle ranges (bench.py)
+        "num_partitions": args.num_partitions or max(8, 4 * ncpu),
+        "sketch_concurrency": max(2, ncpu - 2),
+    }
+    if args.normalize:
+        overrides["normalize_docs"] = True
+    if args.jaccard_threshold is not None:
+        overrides["jaccard_threshold"] = args.jaccard_threshold
+    if args.k is not None:
+        overrides["k"] = args.k
+    cfg = DedupConfig(**overrides)
+
+    res = run_dedup(args.turns, cfg, out_dir=args.out)
+    n_clusters = res.clusters.count()
+    keep = keep_list(res)
+    keep.write_parquet(f"{args.out}/keep_list")
+    summary = {
+        "clusters_rows": n_clusters,
+        "keep_rows": keep.count(),
+        "stages_ran": res.metrics.get("ran"),
+        "stages_skipped": res.metrics.get("skipped"),
+        "out": args.out,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

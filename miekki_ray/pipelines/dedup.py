@@ -46,7 +46,18 @@ class DedupResult:
 
 def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     """Pure-Dataset composition (no checkpointing) — used by tests/bench."""
+    import time
+
     from miekki_ray.state.metrics import MetricsSink
+
+    stage_sec: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def lap(name: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        stage_sec[name] = round(now - _t, 3)
+        _t = now
 
     sink = MetricsSink()
     # Materialization points (each is a barrier — keep them few): docs
@@ -54,8 +65,9 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     # dedup shuffles only (conv_id, doc_hash) metadata and its loser set
     # comes back as a broadcast filter; the sketcher is a separate
     # map_batches stage over ~1024-doc batches (fusing it into the shuffle
-    # reduce tasks was tried and is ~2.5x SLOWER — monolithic per-partition
-    # kernels lose cache locality and serialize memory bandwidth); band
+    # reduce tasks was re-measured r2: ~4x SLOWER — P monolithic
+    # single-threaded group tasks serialize the sketch compute; see
+    # stages/docs.py tail note); band
     # explosion is a cheap numpy map recomputed per consumer instead of
     # materializing the b-times larger band-row table.
     from miekki_ray.stages.exact import drop_losers, exact_dedup_slim
@@ -65,8 +77,10 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     # the same CPU budget and the combined phase comes out SLOWER than
     # running them sequentially.)
     docs = reconstruct_docs(turns, cfg).materialize()
+    lap("docs")
     exact_edges, losers_ds = exact_dedup_slim(docs, cfg)
     n_losers = losers_ds.count()
+    lap("exact_dedup")
     if n_losers <= cfg.broadcast_loser_limit:
         losers = losers_ds.to_pandas() if n_losers else None
         unique_docs = (drop_losers(docs, losers)
@@ -79,9 +93,11 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     sketched = (sketch_docs(unique_docs, cfg)
                 .select_columns(["conv_id", "doc_hash", "sig", "psig"])
                 .materialize())   # ~1.1 KB/doc, no text
+    lap("sketch")
     bands = band_explode(sketched, cfg)
     pairs = candidate_pairs(bands, cfg, metrics_name=sink.name).materialize()
     n_pairs = pairs.count()
+    lap("candidates")
     if n_pairs == 0:
         from miekki_ray.stages.verify import empty_verified
         verified = empty_verified()
@@ -93,11 +109,14 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
         verified = verify_pairs(with_docs, cfg)
     near_edges = edges_from_verified(verified)
     edges = exact_edges.union(near_edges).materialize()
+    lap("verify_edges")
     metrics = sink.collect()
     clusters, n_components = _cluster_and_assign(docs, edges, cfg)
     clusters = clusters.materialize()
+    lap("cluster_assign")
     sink.close()
     metrics["n_components"] = n_components
+    metrics["stage_sec"] = stage_sec
     return DedupResult(clusters=clusters, edges=edges, verified=verified,
                        docs=docs, metrics=metrics)
 

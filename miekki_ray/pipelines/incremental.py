@@ -7,19 +7,32 @@ against the kept representatives (plus deduped among themselves); a new
 conv that matches an existing representative joins that cluster; otherwise
 it clusters among the new batch only.
 
-Output: cluster assignment for the NEW convs (conv_id, cluster_id) where
-cluster_id is an existing representative when matched, else a new-batch
-minimum conv_id.
+Fully distributed (r2): the merge of new-batch clusters with
+query-vs-index matches runs as id-width co-partitioned groupby merges —
+no driver-side union-find over the batch, no .to_pandas() of the
+cluster table (the r1 version pulled both to the driver).
+
+Output: cluster assignment for the NEW convs (conv_id, cluster_id,
+is_new_cluster) where cluster_id is an existing representative when
+matched, else the new-batch minimum conv_id.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from miekki_ray.config import DedupConfig
 from miekki_ray.pipelines.dedup import dedup_datasets
 from miekki_ray.pipelines.index_query import match_query_vs_index
-from miekki_ray.stages.cluster import UnionFindDict
+
+
+def _part_col(s: pd.Series, P: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(s.astype(str), index=False) \
+        .to_numpy(dtype=np.uint64)
+    return (h % np.uint64(P)).astype(np.int32)
 
 
 def dedup_incremental(new_turns: ray.data.Dataset,
@@ -28,31 +41,113 @@ def dedup_incremental(new_turns: ray.data.Dataset,
     """new_turns: turns of the incoming batch. kept_turns: turns of the
     existing corpus's representatives (the keep-list join of the previous
     run). Returns clusters for the new batch."""
-    import pandas as pd
-    import pyarrow as pa
-
     cfg = cfg or DedupConfig()
-    # 1. dedup the new batch among itself
+    P = cfg.num_partitions
+
+    # 1. dedup the new batch among itself — cluster_id is already the
+    #    component-min conv_id, so it serves as the component root
     res_new = dedup_datasets(new_turns, cfg)
-    new_clusters = res_new.clusters.to_pandas()
+    clusters = res_new.clusters.select_columns(["conv_id", "cluster_id"]) \
+        .materialize()
 
-    # 2. match new batch against existing representatives
-    matches = match_query_vs_index(new_turns, kept_turns, cfg).to_pandas()
-    dup = matches[matches["verified"] | matches["contained"]]
+    # 2. match new batch against existing representatives; keep dup matches
+    matches = match_query_vs_index(new_turns, kept_turns, cfg)
 
-    # 3. merge: map each new-batch cluster onto the smallest matched
-    #    existing representative of any of its members
-    uf = UnionFindDict()
-    for cid, cl in zip(new_clusters["conv_id"], new_clusters["cluster_id"]):
-        uf.union(cid, cl)
-    attach: dict[str, str] = {}
-    for q, i in zip(dup["query_id"], dup["index_id"]):
-        root = uf.find(q)
-        if root not in attach or i < attach[root]:
-            attach[root] = i
-    out = new_clusters.copy()
-    roots = out["conv_id"].map(uf.find)
-    out["cluster_id"] = [
-        attach.get(r, c) for r, c in zip(roots, out["cluster_id"])]
-    out["is_new_cluster"] = ~out["cluster_id"].isin(set(attach.values()))
-    return ray.data.from_pandas(out)
+    def dup_only(batch: pd.DataFrame) -> pa.Table:
+        keep = batch[batch["verified"] | batch["contained"]]
+        return pa.table({
+            "query_id": pa.array(keep["query_id"].astype(str).to_numpy(),
+                                 type=pa.string()),
+            "index_id": pa.array(keep["index_id"].astype(str).to_numpy(),
+                                 type=pa.string()),
+        })
+
+    dup = matches.map_batches(dup_only, batch_format="pandas")
+
+    # 3. attach each matched query's CLUSTER: co-partition (query_id ⨝
+    #    conv_id) groupby merge — id-width rows only
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["query_id"].to_pandas(), copy=False)
+        return batch.append_column(
+            "_p", pa.array(_part_col(s, P), type=pa.int32()))
+
+    def tag_clusters(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["conv_id"].to_pandas(), copy=False)
+        t = pa.table({"query_id": batch["conv_id"],
+                      "index_id": pa.array([None] * batch.num_rows,
+                                           type=pa.string()),
+                      "_cl": batch["cluster_id"]})
+        return t.append_column(
+            "_p", pa.array(_part_col(s, P), type=pa.int32()))
+
+    def tag_dup_full(batch: pa.Table) -> pa.Table:
+        t = tag_dup(batch)
+        return t.append_column("_cl", pa.array([None] * batch.num_rows,
+                                               type=pa.string()))
+
+    mixed = dup.map_batches(tag_dup_full, batch_format="pyarrow").union(
+        clusters.map_batches(tag_clusters, batch_format="pyarrow"))
+
+    def attach_cluster(g: pd.DataFrame) -> pa.Table:
+        cl_rows = g[g["_cl"].notna()]
+        m = pd.Series(cl_rows["_cl"].to_numpy(),
+                      index=cl_rows["query_id"].to_numpy())
+        d = g[g["_cl"].isna()]
+        cluster = d["query_id"].map(m)
+        ok = cluster.notna()
+        return pa.table({
+            "cluster_id": pa.array(
+                cluster[ok].astype(str).to_numpy(), type=pa.string()),
+            "index_id": pa.array(
+                d["index_id"][ok].astype(str).to_numpy(), type=pa.string()),
+        })
+
+    cl_matches = mixed.groupby("_p").map_groups(
+        attach_cluster, batch_format="pandas")
+
+    # 4. per cluster, the smallest matched existing representative
+    from ray.data.aggregate import Min
+    attach = cl_matches.groupby("cluster_id").aggregate(
+        Min("index_id", alias_name="existing_rep"))
+
+    # 5. final assignment: co-partition merge of clusters with attach
+    def tag_cl2(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["cluster_id"].to_pandas(), copy=False)
+        return batch.append_column(
+            "_p", pa.array(_part_col(s, P), type=pa.int32()))
+
+    def tag_attach(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["cluster_id"].to_pandas(), copy=False)
+        t = pa.table({"conv_id": pa.array([None] * batch.num_rows,
+                                          type=pa.string()),
+                      "cluster_id": batch["cluster_id"],
+                      "_rep": batch["existing_rep"]})
+        return t.append_column(
+            "_p", pa.array(_part_col(s, P), type=pa.int32()))
+
+    def tag_cl_full(batch: pa.Table) -> pa.Table:
+        t = tag_cl2(batch)
+        return t.append_column("_rep", pa.array([None] * batch.num_rows,
+                                                type=pa.string()))
+
+    mixed2 = clusters.map_batches(tag_cl_full, batch_format="pyarrow") \
+        .union(attach.map_batches(tag_attach, batch_format="pyarrow"))
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        rep_rows = g[g["_rep"].notna()]
+        m = pd.Series(rep_rows["_rep"].to_numpy(),
+                      index=rep_rows["cluster_id"].to_numpy())
+        # attach rows may coexist with doc rows for the same cluster; doc
+        # rows are the ones carrying conv_id
+        d = g[g["conv_id"].notna()]
+        mapped = d["cluster_id"].map(m)
+        final = mapped.fillna(d["cluster_id"])
+        return pa.table({
+            "conv_id": pa.array(d["conv_id"].astype(str).to_numpy(),
+                                type=pa.string()),
+            "cluster_id": pa.array(final.astype(str).to_numpy(),
+                                   type=pa.string()),
+            "is_new_cluster": pa.array(mapped.isna().to_numpy()),
+        })
+
+    return mixed2.groupby("_p").map_groups(assign, batch_format="pandas")

@@ -22,7 +22,12 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
           ) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from miekki_ray.sources.transcripts import strip_schema_metadata
+
+    # testdata parquet carries pandas schema metadata, which makes the
+    # Arrow schema unhashable and defeats Ray's shuffle schema-dedup [env]
+    return strip_schema_metadata(ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns))
 
 
 # ---------------------------------------------------------------- aggregates

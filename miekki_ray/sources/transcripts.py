@@ -30,15 +30,25 @@ DOCS_SCHEMA = pa.schema([
 ])
 
 
+def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop schema-level metadata (e.g. the pandas block written by pandas
+    -> parquet converters). pa.Schema with metadata is UNHASHABLE, which
+    breaks Ray's schema-dedup fast path in every downstream shuffle
+    ('Failed to hash the schemas ... unhashable type: dict' spam) [env]."""
+    return ds.map_batches(
+        lambda b: b.replace_schema_metadata(None),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_transcripts(path: str | list[str],
                      override_num_blocks: int | None = None
                      ) -> ray.data.Dataset:
     """Operator S1: read the turns table, projecting exactly the six spec
     columns. Schema is asserted lazily by assert_turns_schema (stage
     boundaries carry explicit schemas — SURVEY.md §1.3)."""
-    return ray.data.read_parquet(
+    return strip_schema_metadata(ray.data.read_parquet(
         path, columns=TURN_COLUMNS, override_num_blocks=override_num_blocks
-    )
+    ))
 
 
 def assert_schema(ds: ray.data.Dataset, expected: pa.Schema) -> ray.data.Dataset:

@@ -151,10 +151,13 @@ def _emit_pairs_partition(cfg: DedupConfig, metrics_name: str | None = None):
             memit(metrics_name, {"pairs_capped_buckets": n_capped_buckets,
                                  "pairs_dropped_by_cap": n_pairs_dropped})
         if not out_a:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str)})
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)})
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string())})
+        return pa.table({
+            "a": pa.array(np.concatenate(out_a).astype(str),
+                          type=pa.string()),
+            "b": pa.array(np.concatenate(out_b).astype(str),
+                          type=pa.string())})
 
     return emit
 
@@ -187,28 +190,30 @@ def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
     """A1 — dedupe (a,b) and count how many buckets agreed (n_bands)."""
     P = cfg.num_partitions
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+    from miekki_ray.functions.util import pa_from_pandas
+
+    def add_part(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0 or "a" not in batch.columns:
             # schema-less empty block from an empty upstream partition
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str),
-                                 "_part": pd.Series([], dtype=np.int32)})
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "_part": pa.array([], type=pa.int32())})
         h = pd.util.hash_pandas_object(
             batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
             index=False).to_numpy(dtype=np.uint64)
         batch = batch.copy()
         batch["_part"] = (h % U64(P)).astype(np.int32)
-        return batch
+        return pa_from_pandas(batch)
 
-    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+    def uniq(group: pd.DataFrame) -> pa.Table:
         if len(group) == 0 or "a" not in group.columns:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str),
-                                 "n_bands": pd.Series([], dtype=np.int32)})
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "n_bands": pa.array([], type=pa.int32())})
         g = (group.groupby(["a", "b"], sort=False).size()
              .reset_index(name="n_bands"))
         g["n_bands"] = g["n_bands"].astype(np.int32)
-        return g[["a", "b", "n_bands"]]
+        return pa_from_pandas(g[["a", "b", "n_bands"]])
 
     return (raw_pairs.map_batches(add_part, batch_format="pandas")
             .groupby("_part").map_groups(uniq, batch_format="pandas"))

@@ -153,7 +153,7 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
         batch["_part"] = (h % np.uint64(P)).astype(np.int32)
         return batch
 
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+    def propagate(group: pd.DataFrame) -> pa.Table:
         """One hash-min step over a partition: per node, current label =
         min over its label rows; re-emit (node,label) + (peer,label)."""
         lab = (group[group["is_label"]].groupby("node")["other"].min())
@@ -164,10 +164,13 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
         out_label = pd.concat(
             [lab.reset_index(drop=True), peer_lab.reset_index(drop=True)],
             ignore_index=True)
-        return pd.DataFrame({
-            "node": out_node.astype(str),
-            "other": out_label.astype(str),
-            "is_label": True,
+        n = len(out_node)
+        return pa.table({
+            "node": pa.array(out_node.astype(str).to_numpy(),
+                             type=pa.string()),
+            "other": pa.array(out_label.astype(str).to_numpy(),
+                              type=pa.string()),
+            "is_label": pa.array(np.ones(n, dtype=bool)),
         })
 
     fp_prev = None
@@ -270,16 +273,18 @@ def assign_clusters_ds(docs: ray.data.Dataset,
                             zero_copy_batch=True).union(
         labels.map_batches(tag_labels, batch_format="pyarrow"))
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pd.DataFrame) -> pa.Table:
         lab = group[~group["is_doc"]]
         m = pd.Series(lab["label"].to_numpy(),
                       index=lab["node"].to_numpy())
         d = group[group["is_doc"]]["node"].astype(str)
         cl = d.map(m).fillna(d)
-        return pd.DataFrame({
-            "conv_id": d.to_numpy(),
-            "cluster_id": cl.to_numpy(),
-            "is_rep": (d.to_numpy() == cl.to_numpy()),
+        return pa.table({
+            "conv_id": pa.array(d.to_numpy().astype(str),
+                                type=pa.string()),
+            "cluster_id": pa.array(cl.to_numpy().astype(str),
+                                   type=pa.string()),
+            "is_rep": pa.array(d.to_numpy() == cl.to_numpy()),
         })
 
     return mixed.groupby("_part").map_groups(merge, batch_format="pandas")

@@ -118,30 +118,11 @@ def reconstruct_docs(ds: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset
         _assemble(cfg), batch_format="pyarrow")
 
 
-def reconstruct_and_sketch(ds: ray.data.Dataset, cfg: DedupConfig
-                           ) -> ray.data.Dataset:
-    """Fused O1+M5: assemble docs AND MinHash-sketch them inside the same
-    shuffle-reduce task. The sketch kernel is the pipeline's biggest compute
-    — running it in the P reduce tasks of shuffle #1 makes it scale with
-    the shuffle width and removes a whole stage barrier (the separate
-    sketch stage cost ~25s of wall at 32 cpus on the 5M-turn corpus, much
-    of it task/queueing overhead).
-
-    Output: conv_id, doc, n_turns, doc_hash, sig, psig."""
-    from miekki_ray.stages.sketch import Sketcher
-
-    P = cfg.num_partitions
-    assemble = _assemble(cfg)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = _fnv1a_batch(batch["conv_id"].to_pylist(), P)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    def assemble_sketch(group: pa.Table) -> pa.Table:
-        return Sketcher(cfg)(assemble(group))
-
-    parted = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
-               .map_batches(add_part, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    return parted.groupby("_part").map_groups(
-        assemble_sketch, batch_format="pyarrow")
+# NOTE (resolved r2): a fused reconstruct+sketch variant (sketching inside
+# the P shuffle-reduce tasks) was measured head-to-head against the
+# separate stages on the 250k-conv corpus at 32 cpus: fused 149-181 s vs
+# separate 36-46 s — ~4x SLOWER. The P monolithic group tasks serialize the
+# sketch compute (one single-threaded task per partition, skew-bound),
+# while the separate sketch stage splits into ~250 batch tasks that
+# saturate every core. The fused variant was deleted; the separate
+# pipeline in pipelines/dedup.py is the measured winner.

@@ -20,14 +20,16 @@ import ray.data
 from miekki_ray.config import DedupConfig
 
 
-def _dedup_partition(group: pd.DataFrame) -> pd.DataFrame:
+def _dedup_partition(group: pd.DataFrame) -> pa.Table:
+    from miekki_ray.functions.util import pa_from_pandas
+
     g = group.sort_values(["doc_hash", "conv_id"], kind="mergesort")
     first = ~g["doc_hash"].duplicated(keep="first")
     reps = g[first][["doc_hash", "conv_id"]].rename(
         columns={"conv_id": "_rep"})
     g = g.merge(reps, on="doc_hash", how="left")
     g["_is_rep"] = g["conv_id"] == g["_rep"]
-    return g
+    return pa_from_pandas(g)
 
 
 def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
@@ -55,10 +57,13 @@ def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
     return unique_docs, edges
 
 
-def _to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+def _to_edges(batch: pd.DataFrame) -> pa.Table:
     a = np.minimum(batch["_rep"], batch["conv_id"])
     b = np.maximum(batch["_rep"], batch["conv_id"])
-    return pd.DataFrame({"a": a, "b": b, "kind": "exact"})
+    return pa.table({"a": pa.array(a.astype(str), type=pa.string()),
+                     "b": pa.array(b.astype(str), type=pa.string()),
+                     "kind": pa.array(["exact"] * len(a),
+                                      type=pa.string())})
 
 
 def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig

@@ -45,6 +45,8 @@ def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                 n_pairs: int | None = None) -> ray.data.Dataset:
     """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
     Shuffle #4: hash join on a, then on b."""
+    import os
+
     from miekki_ray.functions.util import ensure_schema, rename
     slim = docs.select_columns(["conv_id", "doc"])
     P = cfg.num_partitions
@@ -53,7 +55,15 @@ def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         # candidate sets that startup dominates. ONE partition when the pair
         # set is tiny — ray's join finalize chokes on a partition that
         # receives zero left blocks [env], and P=1 can never have one.
-        P = 1 if n_pairs < 20000 else min(P, n_pairs // 10000)
+        # Measured on the full verify chain (250k-conv corpus, 116k pairs,
+        # 1 GB docs, 32 cpus): width 32 -> 41 s, width 8/16 -> 15-17 s.
+        # Two opposing forces: each extra partition pays aggregator-actor
+        # startup, but MORE partitions feed the downstream streaming
+        # verifier sooner. Floor 8, growing with pair volume up to the
+        # configured shuffle width.
+        P = 1 if n_pairs < 20000 else min(P, max(8, n_pairs // 50000))
+    if os.environ.get("MIEKKI_ATTACH_WIDTH"):
+        P = int(os.environ["MIEKKI_ATTACH_WIDTH"])
     j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                            ("n_bands", pa.int32()),
                            ("doc_a", pa.large_string())])
@@ -142,8 +152,15 @@ def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
 
 def edges_from_verified(verified: ray.data.Dataset) -> ray.data.Dataset:
     """Keep rows that are duplicate edges (Jaccard OR containment), tag kind."""
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
+    from miekki_ray.functions.util import pa_from_pandas
+
+    edge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("kind", pa.string())])
+
+    def f(batch: pd.DataFrame) -> pa.Table:
         keep = batch[batch["verified"] | batch["contained"]].copy()
+        if keep.empty:      # empty object columns would infer null type
+            return edge_schema.empty_table()
         keep["kind"] = np.where(keep["verified"], "jaccard", "containment")
-        return keep[["a", "b", "kind"]]
+        return pa_from_pandas(keep[["a", "b", "kind"]])
     return verified.map_batches(f, batch_format="pandas")
