@@ -176,6 +176,22 @@ def _ann_lsh(sf_dir: str):
     return lsh_topk(emb, q, k=10)
 
 
+def _jaccard_pairs_exact(sf_dir: str):
+    """Brute-force exact-Jaccard pairs over unique docs — the accuracy
+    baseline for the LSH candidate path, with a DuckDB substring-list
+    oracle."""
+    from miekki_ray.adapter import documents_as_turns
+    from miekki_ray.stages.docs import reconstruct_docs
+    from miekki_ray.stages.exact import exact_dedup
+    from miekki_ray.stages.verify import jaccard_pairs_bruteforce
+
+    cfg = _cfg()
+    docs = reconstruct_docs(documents_as_turns(sf_dir), cfg)
+    uniq, _ = exact_dedup(docs, cfg)
+    return jaccard_pairs_bruteforce(uniq.materialize(), cfg) \
+        .sort(["a", "b"])
+
+
 def _embedding_pairs_exact(sf_dir: str):
     import ray.data
 
@@ -417,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_list": _dedup_keep_list,
         "dedup_edges": _dedup_edges,
+        "jaccard_pairs_exact": _jaccard_pairs_exact,
         "minhash_sketch": _minhash_sketch,
         "band_rows": _band_rows,
         "simhash_pairs": _simhash_pairs,
@@ -629,6 +646,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_idx, vec_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_idx, rank
+        """,
+        # the doc string below mirrors stages/docs._assemble for the
+        # single-turn adapter: role tag 'u' + chr(31) + text; k=12 byte
+        # shingles == char shingles (testdata is ASCII); distinct
+        # substring lists stand in for distinct shingle-hash sets
+        "jaccard_pairs_exact": """
+            WITH d AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+                     'u' || chr(31) || text AS doc
+              FROM documents
+            ), u AS (
+              SELECT doc, min(conv_id) AS conv_id FROM d GROUP BY doc
+            ), pos AS (
+              SELECT conv_id, doc,
+                     unnest(generate_series(1,
+                         greatest(length(doc) - 11, 1))) AS i
+              FROM u
+            ), sh AS (
+              SELECT conv_id,
+                     list(DISTINCT substr(doc, CAST(i AS INTEGER), 12)) AS s
+              FROM pos GROUP BY conv_id
+            )
+            SELECT a.conv_id AS a, b.conv_id AS b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8
+            ORDER BY a, b
+        """,
+        "minhash_sketch": """
+            WITH d AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+                     'u' || chr(31) || text AS doc
+              FROM documents
+            ), u AS (
+              SELECT doc, min(conv_id) AS conv_id FROM d GROUP BY doc
+            ), pos AS (
+              SELECT conv_id, doc,
+                     unnest(generate_series(1,
+                         greatest(length(doc) - 11, 1))) AS i
+              FROM u
+            )
+            SELECT conv_id,
+                   CAST(count(DISTINCT substr(doc, CAST(i AS INTEGER), 12))
+                        AS INTEGER) AS n_shingles
+            FROM pos GROUP BY conv_id ORDER BY conv_id
         """,
         "embedding_pairs_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -150,6 +150,79 @@ def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
     )
 
 
+def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
+                             threshold: float | None = None
+                             ) -> ray.data.Dataset:
+    """EXACT all-pairs shingle Jaccard ≥ threshold — the accuracy baseline
+    for the LSH candidate path, oracle-checkable against a DuckDB
+    distinct-substring-list self-join (__ray_entry__.oracle_sql).
+
+    Shingle sets are computed distributed (map_batches), then the compact
+    (conv_id, hash-set) table — hashes only, never text — is broadcast
+    once via ray.put and every batch intersects against it, emitting
+    (a, b, jaccard) with a < b. Deliberately O(n²) compare volume like
+    ``embedding_pairs_exact``: use only when the hash-set table fits the
+    object store; the LSH pipeline is the scale path."""
+    from miekki_ray.functions.textstats import _round6_half_away
+
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+    k = cfg.k
+
+    def shingled(batch: pa.Table) -> pa.Table:
+        sets = [shingle_hashes(d.encode("utf-8"), k)
+                for d in batch["doc"].to_pylist()]
+        offs = np.zeros(len(sets) + 1, dtype=np.int64)
+        np.cumsum([s.size for s in sets], out=offs[1:])
+        flat = (np.concatenate(sets) if sets else
+                np.empty(0, dtype=np.uint64))
+        col = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()).cast(pa.int32()),
+            pa.array(flat, type=pa.uint64()))
+        return pa.table({"conv_id": batch["conv_id"], "shingles": col})
+
+    sh = docs.select_columns(["conv_id", "doc"]).map_batches(
+        shingled, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    full = sh.to_pandas()
+    order = np.argsort(full["conv_id"].to_numpy())
+    all_ids = full["conv_id"].to_numpy()[order]
+    all_sets = [np.asarray(full["shingles"].iloc[i], dtype=np.uint64)
+                for i in order]
+    import ray as _ray
+    ref = _ray.put((all_ids, all_sets))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, sets_b = _ray.get(ref)
+        out_a, out_b, out_j = [], [], []
+        my_ids = batch["conv_id"].to_pylist()
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for i, mid in enumerate(my_ids):
+            mine = np.asarray(col[i].values, dtype=np.uint64) \
+                if hasattr(col[i], "values") else \
+                np.asarray(col[i].as_py(), dtype=np.uint64)
+            start = np.searchsorted(ids_b, mid, side="right")
+            for j in range(start, len(ids_b)):
+                other = sets_b[j]
+                inter = np.intersect1d(mine, other,
+                                       assume_unique=True).size
+                union = mine.size + other.size - inter
+                jac = inter / union if union else 1.0
+                if jac >= thr:
+                    out_a.append(mid)
+                    out_b.append(ids_b[j])
+                    out_j.append(jac)
+        return pa.table({
+            "a": pa.array(out_a, type=pa.string()),
+            "b": pa.array(out_b, type=pa.string()),
+            "jaccard": pa.array(_round6_half_away(np.array(out_j)),
+                                type=pa.float64()),
+        })
+
+    return sh.map_batches(pairs, batch_format="pyarrow")
+
+
 def edges_from_verified(verified: ray.data.Dataset) -> ray.data.Dataset:
     """Keep rows that are duplicate edges (Jaccard OR containment), tag kind."""
     from miekki_ray.functions.util import pa_from_pandas
