@@ -192,6 +192,20 @@ def _jaccard_pairs_exact(sf_dir: str):
         .sort(["a", "b"])
 
 
+def _ann_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    import ray.data
+
+    from miekki_ray.stages.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in head["embedding"].to_pylist()])
+    return ivf_topk(emb, q, k=10)
+
+
 def _embedding_pairs_exact(sf_dir: str):
     import ray.data
 
@@ -442,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_exact": _embedding_pairs_exact,
         "ann_topk_bruteforce": _ann_bruteforce,
         "ann_topk_lsh": _ann_lsh,
+        "ann_topk_ivf": _ann_ivf,
         # query-vs-index + incremental pipelines (rows-only)
         "index_query_matches": _index_query_matches,
         "incremental_clusters": _incremental_clusters,

@@ -160,6 +160,86 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     return _rank_topk(parts, k, id_col)
 
 
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
+                n_iter: int = 10) -> np.ndarray:
+    """Tiny deterministic Lloyd k-means on UNIT vectors (cosine ≡ dot) —
+    trains the IVF coarse quantizer from a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 64, nprobe: int = 8, seed: int = 7,
+             train_sample: int = 4096, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> pd.DataFrame:
+    """IVF ANN: a k-means coarse quantizer (trained once on a driver-side
+    sample, broadcast via ray.put) partitions the corpus into Voronoi
+    cells; each query scores ONLY vectors whose cell is among its nprobe
+    nearest centroids. nprobe == n_centroids degenerates to exact
+    brute-force (tests assert equality); smaller nprobe trades recall for
+    a ~n_centroids/nprobe compute cut — the standard IVF lever.
+
+    At cluster scale the cell id would key a groupby so cells co-locate;
+    here cells filter the per-batch matmul (same broadcast-query pattern
+    as lsh_topk), which keeps semantics identical."""
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    sm = _normalize(np.stack(
+        sample_tbl[vec_col].map(np.asarray).to_list()).astype(np.float64))
+    cent = _kmeans_fit(sm, n_centroids, seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # per query: the nprobe nearest centroid ids
+    np_eff = min(nprobe, cent.shape[0])
+    qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, :np_eff]
+    ref = ray.put((qn, qprobe, cent))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        q, qp, c = ray.get(ref)
+        m = _normalize(_mat(batch, vec_col, np.float64))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cells = np.argmax(m @ c.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(cells, qp[qi])
+            if not mask.any():
+                continue
+            sub = m[mask]
+            scores = sub @ q[qi]
+            kk = min(k, sub.shape[0])
+            idx = np.argpartition(-scores, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[mask][idx])
+            out_s.append(scores[idx])
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], type=pa.int32()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+    return _rank_topk(parts, k, id_col)
+
+
 def embedding_pairs_exact(embeddings: ray.data.Dataset,
                           threshold: float = 0.4,
                           id_col: str = "vec_id",

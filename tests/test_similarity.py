@@ -54,6 +54,30 @@ def test_lsh_topk_finds_self(emb_ds):
         assert int(sub["vec_id"].iloc[0]) == qi
 
 
+def test_ivf_topk_full_probe_equals_bruteforce(emb_ds):
+    from miekki_ray.stages.similarity import ivf_topk
+
+    ds, base = emb_ds
+    q = base[:3]
+    exact = brute_force_topk(ds, q, k=5)
+    # probing EVERY centroid scores every vector -> identical to exact
+    ivf = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=8, seed=3)
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_idx", "rank"]).reset_index(drop=True),
+        ivf.sort_values(["query_idx", "rank"]).reset_index(drop=True))
+
+
+def test_ivf_topk_partial_probe_self_hit(emb_ds):
+    from miekki_ray.stages.similarity import ivf_topk
+
+    ds, base = emb_ds
+    out = ivf_topk(ds, base[:3], k=5, n_centroids=8, nprobe=2, seed=3)
+    for qi in range(3):
+        sub = out[(out["query_idx"] == qi) & (out["rank"] == 1)]
+        # the query's own cell is always its nearest centroid
+        assert int(sub["vec_id"].iloc[0]) == qi
+
+
 def test_embedding_near_dups(emb_ds):
     ds, base = emb_ds
     pairs = embedding_near_dups(ds, threshold=0.98).to_pandas()
