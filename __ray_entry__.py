@@ -315,6 +315,35 @@ def _doc_langid(sf_dir: str):
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def _doc_winnow_fp(sf_dir: str):
+    """Full winnowing fingerprint sets, exploded to (doc_id, fp) rows —
+    the join-ready shape for substring-overlap candidate generation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.functions.textstats import winnow_fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sets = [winnow_fingerprints(t) for t in batch["text"].to_pylist()]
+        sizes = [s.size for s in sets]
+        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), sizes)
+        flat = (np.concatenate(sets) if sets
+                else np.empty(0, dtype=np.uint64))
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            # uint64 reinterpreted as int64 for shuffle-key friendliness
+            "fp": pa.array(flat.view(np.int64), type=pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["doc_id", "fp"])
+
+
 def _doc_fingerprints(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -443,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprints": _doc_fingerprints,
+        "doc_winnow_fp": _doc_winnow_fp,
         # dedup engine proper (rows-only; MinHash/LSH not SQL-expressible)
         "dedup_clusters": _dedup_clusters,
         "dedup_keep_list": _dedup_keep_list,

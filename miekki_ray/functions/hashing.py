@@ -65,7 +65,14 @@ def hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     """Unique uint64 hashes of all character k-grams (over utf-8 bytes) of
     ``data``. Returns at least one hash (hash of the whole doc) so empty /
-    short docs still sketch.
+    short docs still sketch."""
+    return np.unique(shingle_hashes_ordered(data, k))
+
+
+def shingle_hashes_ordered(data: bytes, k: int) -> np.ndarray:
+    """POSITION-ORDERED uint64 hashes of all k-grams — h[i] is the hash of
+    the window starting at byte i (winnowing needs positions; MinHash
+    does not and uses the unique-sorted wrapper above).
 
     O(n) vectorized rolling polynomial hash:
       h[i] = sum_{j<k} c[i+j] * p^(k-1-j)  (mod 2^64)
@@ -108,7 +115,7 @@ def shingle_hashes(data: bytes, k: int) -> np.ndarray:
             )
         pk1 = U64(pow(0x9E3779B97F4A7C15, k - 1, 1 << 64))
         h = d * ppow * pk1
-    return np.unique(splitmix64(h))
+    return splitmix64(h)
 
 
 def minhash_from_concat(

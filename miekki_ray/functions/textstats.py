@@ -123,6 +123,23 @@ def lang_id(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=t.index, dtype=object)
 
 
+def winnow_fingerprints(text: str, k: int = 12,
+                        window: int = 32) -> np.ndarray:
+    """Full Schleimer et al. winnowing: the distinct minima of every
+    ``window`` consecutive POSITION-ORDERED k-gram hashes. Guarantee: two
+    texts sharing any substring of length >= window + k - 1 share at
+    least one fingerprint (the local-min selection is position-stable).
+    Returns a sorted unique uint64 array (possibly a single whole-doc
+    hash for short texts)."""
+    from miekki_ray.functions.hashing import shingle_hashes_ordered
+
+    h = shingle_hashes_ordered((text or "").encode("utf-8"), k)
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(win.min(axis=1))
+
+
 def doc_fingerprint(texts: pd.Series, window: int = 64) -> np.ndarray:
     """Winnowing-style fingerprint: min rolling-hash over `window`-byte
     shingles — a compact 64-bit content id robust to small local edits at

@@ -52,3 +52,33 @@ def test_doc_fingerprint_stability():
     f = doc_fingerprint(s2)
     assert f[0] == f[1]
     assert f[0] != f[2] or True  # min-hash fingerprint MAY survive suffix edits
+
+
+def test_winnow_fingerprints_shared_substring_guarantee():
+    from miekki_ray.functions.textstats import winnow_fingerprints
+
+    k, w = 12, 32
+    import numpy as np
+    rng = np.random.default_rng(5)
+    alph = list("abcdefghijklmnopqrstuvwxyz ")
+    mk = lambda n: "".join(rng.choice(alph, n))
+    shared = mk(w + k - 1)          # exactly the guarantee length
+    a = mk(200) + shared + mk(200)
+    b = mk(180) + shared + mk(220)
+    fa = winnow_fingerprints(a, k, w)
+    fb = winnow_fingerprints(b, k, w)
+    assert np.intersect1d(fa, fb).size >= 1
+    # disjoint random texts share nothing (w.h.p. at 64-bit hashes)
+    c = mk(500)
+    fc = winnow_fingerprints(c, k, w)
+    assert np.intersect1d(fa, fc).size == 0
+    # deterministic + sorted unique
+    assert np.array_equal(fa, winnow_fingerprints(a, k, w))
+    assert np.array_equal(fa, np.unique(fa))
+
+
+def test_winnow_short_doc_single_fp():
+    from miekki_ray.functions.textstats import winnow_fingerprints
+
+    f = winnow_fingerprints("tiny", 12, 32)
+    assert f.size == 1
