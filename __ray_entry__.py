@@ -384,6 +384,25 @@ def _events_tumbling(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _events_hopping(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from miekki_ray.stages.windows import hopping_window_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    out = hopping_window_counts(ev, size_s=2 * 86400, hop_s=86400)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value",
+                                pc.round(batch["sum_value"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _events_sessions(sf_dir: str):
     import ray.data
 
@@ -492,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_clusters": _incremental_clusters,
         # windows / stats (SQL-oracled)
         "events_tumbling": _events_tumbling,
+        "events_hopping": _events_hopping,
         "events_sessions": _events_sessions,
         "documents_top_clusters": _documents_top_clusters,
         # extras (rows-only)
@@ -769,6 +789,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY event_type, w
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 - off AS w,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events, unnest(generate_series(0, 1)) AS t(off)
+            GROUP BY event_type, w
         """,
         "events_sessions": """
             WITH d AS (

@@ -45,7 +45,14 @@ class DedupResult:
 
 
 def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
-    """Pure-Dataset composition (no checkpointing) — used by tests/bench."""
+    """Pure-Dataset composition (no checkpointing) — used by tests/bench.
+
+    Scale note: this variant holds the reconstructed docs table in the
+    object store (docs.materialize(), 4 consumers). At the 10^12-turn
+    envelope use ``run_dedup(out_dir=...)`` — the checkpointed path
+    replaces every in-memory barrier with partitioned parquet + lineage
+    manifests, so stage outputs live on disk, consumers re-read instead
+    of pinning plasma, and the run resumes after failure."""
     import time
 
     from miekki_ray.state.metrics import MetricsSink

@@ -36,6 +36,40 @@ def tumbling_window_counts(events: ray.data.Dataset, window_s: int
                        Sum("value", alias_name="sum_value")))
 
 
+def hopping_window_counts(events: ray.data.Dataset, size_s: int,
+                          hop_s: int) -> ray.data.Dataset:
+    """Events per (event_type, HOPPING window): window w covers
+    [w*hop, w*hop + size); each event lands in size/hop windows (size must
+    be a multiple of hop). Expressed as a vectorized per-batch explode
+    (np.repeat of size/hop window ids per event) + one grouped aggregate —
+    the overlap factor multiplies rows BEFORE the shuffle, which is the
+    standard rendering (there is no shuffle-free hopping aggregate)."""
+    assert size_s % hop_s == 0, "size must be a multiple of hop"
+    fan = size_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch["ts"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()))
+        base = ts // hop_us                      # last window containing t
+        offs = np.arange(fan, dtype=np.int64)
+        w = (base[:, None] - offs[None, :]).ravel()
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), fan))
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_type": pc.take(batch["event_type"], idx),
+            "w": pa.array(w, type=pa.int64()),
+            "value": pc.take(batch["value"], idx),
+        })
+
+    return (events.map_batches(explode, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["event_type", "w"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("value", alias_name="sum_value")))
+
+
 def session_windows(events: ray.data.Dataset, gap_s: int,
                     num_partitions: int = 16) -> ray.data.Dataset:
     """Per-user session windows: a session ends after a gap > gap_s.

@@ -134,3 +134,25 @@ def test_ngram_near_dup_pipeline(cfg):
                                           out["verified"])}
     assert found.get(("d1", "d2")) is True
     assert ("d1", "d3") not in found or not found[("d1", "d3")]
+
+
+def test_hopping_windows_fanout(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.stages.windows import hopping_window_counts
+
+    ts = pa.array(np.array([0, 86_400, 200_000], dtype="int64")
+                  * 1_000_000).cast(pa.timestamp("us"))
+    ev = ray.data.from_arrow(pa.table({
+        "event_type": pa.array(["a", "a", "a"]),
+        "ts": ts,
+        "value": pa.array([1.0, 2.0, 4.0]),
+    }))
+    out = hopping_window_counts(ev, size_s=2 * 86400, hop_s=86400) \
+        .to_pandas().set_index("w").sort_index()
+    # event@0 -> windows -1,0 ; event@1d -> 0,1 ; event@200ks -> 1,2
+    assert out.loc[0, "n"] == 2 and out.loc[0, "sum_value"] == 3.0
+    assert out.loc[1, "n"] == 2 and out.loc[1, "sum_value"] == 6.0
+    assert out.loc[-1, "n"] == 1 and out.loc[2, "n"] == 1
