@@ -479,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top20": R.orders_top20,
         "orders_by_month": R.orders_by_month,
         "union_sources": R.union_sources,
+        "customers_top_per_segment": R.customers_top_per_segment,
+        "orders_distinct_custs_per_priority":
+            R.orders_distinct_custs_per_priority,
+        "events_value_quantiles": R.events_value_quantiles,
         # documents-table dedup ops (DuckDB-oracled)
         "documents_exact_keep_first": R.documents_exact_keep_first,
         "documents_dup_clusters": R.documents_dup_clusters,
@@ -584,6 +588,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders
                 WHERE o_orderpriority = '1-URGENT'
             )
+        """,
+        "customers_top_per_segment": """
+            SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey ASC)
+                        AS INTEGER) AS rank
+            FROM customer
+            QUALIFY rank <= 3
+            ORDER BY c_mktsegment, rank
+        """,
+        "orders_distinct_custs_per_priority": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "documents_exact_keep_first": """
             SELECT MIN(doc_id) AS doc_id FROM documents

@@ -248,6 +248,77 @@ def documents_distinct_count(sf_dir: str):
     return pd.DataFrame({"n_distinct": [n]})
 
 
+def customers_top_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (windowed rank): the k largest-balance customers per
+    market segment. Coarse hash-partition by segment, ONE vectorized
+    rank/head pass per partition (not per group) — the same idiom as the
+    dedup stages; oracle is a SQL row_number() window."""
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    P = 8
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["c_mktsegment"].astype(str),
+                                       index=False) \
+            .to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
+        return batch
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(rank=g.groupby("c_mktsegment").cumcount()
+                     .astype(np.int32) + 1)
+        return g[g["rank"] <= k][
+            ["c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rank"]]
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_p").map_groups(topk, batch_format="pandas")
+            .sort(["c_mktsegment", "rank"]))
+
+
+def orders_distinct_custs_per_priority(sf_dir: str):
+    """COUNT(DISTINCT) per group, fully distributed: two grouped
+    aggregates (pair-dedupe then count) — no driver-side value lists."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+    pairs = ds.groupby(["o_orderpriority", "o_custkey"]) \
+              .aggregate(Count(alias_name="_c"))
+    return (pairs.groupby("o_orderpriority")
+            .aggregate(Count(alias_name="n_custs")))
+
+
+def events_value_quantiles(sf_dir: str):
+    """Exact per-key quantiles (p50/p90/p99 of value per event_type):
+    coarse-partition by key, one vectorized np.quantile (linear
+    interpolation — the same rule as DuckDB quantile_cont) per key.
+    Scale note: per-key data must fit a partition; beyond that the
+    t-digest/approx path is the answer."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    P = 8
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["event_type"].astype(str),
+                                       index=False) \
+            .to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
+        return batch
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            v = grp["value"].to_numpy(dtype=np.float64)
+            q = np.quantile(v, [0.5, 0.9, 0.99])
+            rows.append((et, *np.round(q, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "p50", "p90",
+                                           "p99"])
+
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_p").map_groups(quant, batch_format="pandas")
+            .sort("event_type"))
+
+
 def union_sources(sf_dir: str):
     """D3 union: high-value orders ∪ priority orders, distinct count."""
     o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
