@@ -94,28 +94,50 @@ def orders_join_customer_top10(sf_dir: str):
 
 
 def customers_without_orders(sf_dir: str):
-    """Anti join via broadcast key set (J4 semi/anti idiom, SURVEY.md §2.4)."""
-    import ray
+    """Anti join (J4), fully distributed: customers and order keys are
+    co-partitioned by hash(custkey) and each partition drops customers
+    whose key appears — id-width rows through the shuffle, no driver-side
+    key list (a broadcast key set would be corpus-scale at 100 TB; the
+    broadcast variant remains the right call only for SMALL key sets,
+    SURVEY.md §2.4)."""
+    P = 8
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    keys = set(
-        orders.unique("o_custkey"))
-    ref = ray.put(np.array(sorted(keys), dtype=np.int64))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        import ray as _r
-        have = _r.get(ref)
-        mask = ~np.isin(batch["c_custkey"].to_numpy(), have)
-        return batch.filter(pa.array(mask))
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"].to_numpy()
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_name": pa.array([None] * batch.num_rows, type=pa.string()),
+            "_is_cust": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            "_p": pa.array((k % P).astype(np.int32), type=pa.int32()),
+        })
 
-    out = (cust.map_batches(anti, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy()
+        t = batch.append_column(
+            "_is_cust", pa.array(np.ones(batch.num_rows, dtype=bool)))
+        return t.append_column(
+            "_p", pa.array((k % P).astype(np.int32), type=pa.int32()))
+
+    mixed = cust.map_batches(tag_cust, batch_format="pyarrow",
+                             zero_copy_batch=True).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[~g["_is_cust"]]["c_custkey"].unique()
+        c = g[g["_is_cust"]]
+        keep = c[~c["c_custkey"].isin(have)]
+        return keep[["c_custkey", "c_name"]]
+
+    out = (mixed.groupby("_p").map_groups(anti, batch_format="pandas")
            .sort("c_custkey").to_pandas())
     # an all-filtered result loses its schema through to_pandas; pin columns
-    if out.empty:
+    if out.empty or "c_custkey" not in out.columns:
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
                             "c_name": pd.Series([], dtype=str)})
-    return out
+    return out[["c_custkey", "c_name"]]
 
 
 def supplier_nation_region(sf_dir: str):

@@ -156,3 +156,25 @@ def test_hopping_windows_fanout(ray_session):
     assert out.loc[0, "n"] == 2 and out.loc[0, "sum_value"] == 3.0
     assert out.loc[1, "n"] == 2 and out.loc[1, "sum_value"] == 6.0
     assert out.loc[-1, "n"] == 1 and out.loc[2, "n"] == 1
+
+
+def test_copartition_anti_join_keeps_orderless(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miekki_ray.relational import customers_without_orders
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(10, dtype=np.int64)),
+        "c_name": pa.array([f"c{i}" for i in range(10)]),
+    }), f"{sf}/customer.parquet")
+    # customers 3, 7, 9 have no orders
+    keys = [i for i in range(10) if i not in (3, 7, 9)] * 2
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(np.array(keys, dtype=np.int64)),
+    }), f"{sf}/orders.parquet")
+    out = customers_without_orders(sf)
+    assert list(out["c_custkey"]) == [3, 7, 9]
+    assert list(out["c_name"]) == ["c3", "c7", "c9"]
