@@ -456,6 +456,35 @@ def _media_decode(sf_dir: str):
         .select_columns(["media_id", "kind", "decoded_ok"])
 
 
+def _media_resize(sf_dir: str):
+    import json as _json
+
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.stages.multimodal import resize_images, synth_media
+
+    media = ray.data.from_arrow(synth_media(200, seed=11))
+    out = resize_images(media, 256, 256).sort("media_id").to_pandas()
+    out["width"] = out["meta"].map(lambda m: _json.loads(m)["width"])
+    return pd.DataFrame({"media_id": out["media_id"],
+                         "kind": out["kind"],
+                         "width": out["width"].astype("int64"),
+                         "payload_bytes": out["payload"].str.len()
+                         .astype("int64")})
+
+
+def _media_frames(sf_dir: str):
+    import ray.data
+
+    from miekki_ray.stages.multimodal import sample_frames, synth_media
+
+    media = ray.data.from_arrow(synth_media(200, seed=11))
+    out = sample_frames(media).sort(["media_id", "frame_idx"]).to_pandas()
+    out["frame_bytes"] = out["frame"].str.len().astype("int64")
+    return out[["media_id", "frame_idx", "frame_bytes"]]
+
+
 def _media_stats(sf_dir: str):
     import ray.data
 
@@ -522,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_stats": _dedup_cluster_stats,
         "ngram_near_dup_pairs": _ngram_pairs,
         "media_decode": _media_decode,
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
         "media_meta_stats": _media_stats,
     }
 

@@ -7,10 +7,14 @@ and prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
    "sf": ..., "num_cpus": N, "turns": n, "turns_per_sec": r}
 
---scaling: runs the headline dedup twice in FRESH processes (num_cpus=8
-then 32) on the same input and reports both throughputs + scaling
-efficiency (the sandbox substitute for N- vs 4N-node clusters — driver
-instruction; BASELINE.md row 'scaling efficiency').
+--scaling: runs the headline dedup at N and 4N cpus (default 4 and 16;
+$MIEKKI_SCALING_CPUS) in FRESH processes on the same input — min wall of
+$MIEKKI_SCALING_TRIALS (default 3) trials per leg — and reports both
+throughputs, the scaling efficiency (the sandbox substitute for N- vs
+4N-node clusters — driver instruction; BASELINE.md row 'scaling
+efficiency'), and two same-run host-substrate probes (pure-CPU and
+DRAM-bandwidth parallel ceilings) that bound what ANY engine could
+measure on this virtualized box.
 """
 
 from __future__ import annotations
@@ -226,7 +230,7 @@ def run_scaling() -> dict:
     lo_cpu, hi_cpu = (int(x) for x in os.environ.get(
         "MIEKKI_SCALING_CPUS", "4,16").split(","))
 
-    trials = int(os.environ.get("MIEKKI_SCALING_TRIALS", "2"))
+    trials = int(os.environ.get("MIEKKI_SCALING_TRIALS", "3"))
 
     def one_run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -99,6 +99,90 @@ def decode_media(media: ray.data.Dataset, seed: int = 0,
     )
 
 
+class ImageResizer:
+    """Actor-pool UDF: image rows -> resized payload + updated meta.
+
+    Real path: PIL decode -> resize((w, h)) -> re-encode; unavailable in
+    this container, so the payload transform is a clearly-marked
+    deterministic stub (truncate/pad to a size proportional to the target
+    area) while the meta rewrite, row filtering, schema and actor shape
+    are the real plumbing."""
+
+    def __init__(self, width: int, height: int):
+        self.w = width
+        self.h = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        metas = [json.loads(m) if m else {} for m in
+                 batch["meta"].to_pylist()]
+        payloads = batch["payload"].to_pylist()
+        out_payload, out_meta = [], []
+        for kind, meta, p in zip(kinds, metas, payloads):
+            if kind != "image" or p is None:
+                out_payload.append(p)
+                out_meta.append(json.dumps(meta))
+                continue
+            # stub transform: scale payload length by target/source area
+            src_area = max(1, meta.get("width", 1) * meta.get("height", 1))
+            ratio = (self.w * self.h) / src_area
+            target = max(16, int(len(p) * min(ratio, 1.0)))
+            out_payload.append(p[:target].ljust(16, b"\0"))
+            out_meta.append(json.dumps(
+                {**meta, "width": self.w, "height": self.h}))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out_payload, type=pa.binary()),
+            "meta": pa.array(out_meta, type=pa.string()),
+        })
+
+
+def resize_images(media: ray.data.Dataset, width: int = 256,
+                  height: int = 256, batch_size: int = 32,
+                  concurrency: int = 4) -> ray.data.Dataset:
+    """Actor-pool resize stage over image rows (others pass through)."""
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(media: ray.data.Dataset, every_n: int = 4,
+                  max_frames: int = 8, batch_size: int = 16,
+                  concurrency: int = 4) -> ray.data.Dataset:
+    """Video rows fan OUT into frame rows (media_id, frame_idx, payload) —
+    the flat-map shape a real ffmpeg frame sampler drops into. Stub
+    'frames' are deterministic payload slices; non-video rows are dropped.
+    Small batches: the fan-out multiplies payload bytes held per task."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_frame = [], [], []
+        for mid, kind, p in zip(ids, kinds, payloads):
+            if kind != "video" or p is None:
+                continue
+            n_frames = min(max_frames, max(1, len(p) // (every_n * 64)))
+            step = max(1, len(p) // max(n_frames, 1))
+            for fi in range(n_frames):
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_frame.append(p[fi * step:(fi + 1) * step])
+        return pa.table({
+            "media_id": pa.array(out_id, type=pa.int64()),
+            "frame_idx": pa.array(out_idx, type=pa.int32()),
+            "frame": pa.array(out_frame, type=pa.binary()),
+        })
+
+    return media.map_batches(f, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=batch_size)
+
+
 def media_meta_stats(media: ray.data.Dataset) -> ray.data.Dataset:
     """Typed-metadata aggregation: parse the JSON meta column and aggregate
     payload sizes per kind."""

@@ -24,17 +24,19 @@ def top_clusters(clusters: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
 
 
 def cluster_size_histogram(clusters: ray.data.Dataset) -> pd.DataFrame:
-    """size -> number of clusters of that size (small result, pandas)."""
-    sizes = cluster_sizes(clusters).to_pandas()
-    hist = sizes.groupby("size").size().reset_index(name="n_clusters")
+    """size -> number of clusters of that size. Two distributed grouped
+    aggregates; only the (distinct sizes)-row result reaches the driver —
+    never the per-cluster table (corpus-scale at 100 TB)."""
+    hist = (cluster_sizes(clusters).groupby("size")
+            .aggregate(Count(alias_name="n_clusters")).to_pandas())
     return hist.sort_values("size").reset_index(drop=True)
 
 
 def dedup_summary(clusters: ray.data.Dataset) -> pd.DataFrame:
-    """One-row summary: docs, clusters, dup docs removed, dedup ratio."""
-    sizes = cluster_sizes(clusters).to_pandas()
-    n_docs = int(sizes["size"].sum())
-    n_clusters = len(sizes)
+    """One-row summary: docs, clusters, dup docs removed, dedup ratio.
+    Distributed counts only — no driver-side per-cluster table."""
+    n_docs = clusters.count()
+    n_clusters = cluster_sizes(clusters).count()
     removed = n_docs - n_clusters
     return pd.DataFrame({
         "n_docs": [n_docs],

@@ -178,3 +178,38 @@ def test_copartition_anti_join_keeps_orderless(ray_session, tmp_path):
     out = customers_without_orders(sf)
     assert list(out["c_custkey"]) == [3, 7, 9]
     assert list(out["c_name"]) == ["c3", "c7", "c9"]
+
+
+def test_resize_and_frame_sample_plumbing(ray_session):
+    import json
+
+    import ray.data
+
+    from miekki_ray.stages.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = ray.data.from_arrow(synth_media(60, seed=3))
+    resized = resize_images(media, 128, 128).to_pandas()
+    assert len(resized) == 60                      # pass-through rows kept
+    imgs = resized[resized["kind"] == "image"]
+    assert len(imgs) > 0
+    for m in imgs["meta"]:
+        d = json.loads(m)
+        assert (d["width"], d["height"]) == (128, 128)
+    others = resized[resized["kind"] != "image"]
+    for m in others["meta"]:
+        assert json.loads(m)["width"] != 128 or True  # untouched meta parses
+
+    frames = sample_frames(media).to_pandas()
+    vids = media.to_pandas()
+    n_vid = (vids["kind"] == "video").sum()
+    assert n_vid > 0
+    assert set(frames["media_id"]) <= set(
+        vids[vids["kind"] == "video"]["media_id"])
+    assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
+    # deterministic
+    frames2 = sample_frames(media).to_pandas()
+    assert len(frames) == len(frames2)
