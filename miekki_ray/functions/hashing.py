@@ -69,6 +69,69 @@ def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(shingle_hashes_ordered(data, k))
 
 
+def shingle_sets_from_arrow(col, k: int,
+                            prefix_bytes: int | None = None
+                            ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-doc UNIQUE shingle-hash sets for a whole Arrow string column in
+    ONE rolling-hash pass over the column's shared data buffer — no
+    Python-string materialization, no per-doc kernel launches. The
+    polynomial window hash h[i] depends only on bytes i..i+k-1, so the
+    global pass yields bit-identical hashes to per-doc passes; windows
+    crossing doc boundaries are simply never sliced.
+
+    Returns (sets, prefix_sets): per-doc unique hash arrays, and (when
+    prefix_bytes is set) the unique hashes of each doc's FIRST
+    prefix_bytes — a zero-cost slice of the same global pass (the old
+    path re-hashed every long doc's prefix)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return [], []
+    off_dtype = (np.int64 if pa.types.is_large_string(col.type)
+                 else np.int32)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    sets: list[np.ndarray] = []
+    psets: list[np.ndarray] = []
+    want_prefix = prefix_bytes is not None
+    # doc-aligned CHUNKS of ~64 KB: one rolling pass per chunk keeps the
+    # ~5 temporaries L2-resident (a single whole-buffer pass streams MBs
+    # through DRAM and measures 2x SLOWER); window hashes depend only on
+    # local bytes, so per-chunk passes are bit-identical
+    CHUNK = 64 * 1024
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and offs[j + 1] - offs[i] <= CHUNK:
+            j += 1
+        cs, ce = offs[i], offs[j]
+        big = (shingle_hashes_ordered(data[cs:ce].tobytes(), k)
+               if ce - cs >= k else np.empty(0, dtype=U64))
+        for d in range(i, j):
+            s, e = offs[d] - cs, offs[d + 1] - cs
+            if e - s >= k:
+                h = np.unique(big[s:e - k + 1])
+                sets.append(h)
+                if want_prefix:
+                    if e - s <= prefix_bytes:
+                        psets.append(h)
+                    else:
+                        psets.append(np.unique(
+                            big[s:s + prefix_bytes - k + 1]))
+            else:
+                h = shingle_hashes(data[cs + s:cs + e].tobytes(), k)
+                sets.append(h)
+                if want_prefix:
+                    psets.append(h)
+        i = j
+    return sets, psets
+
+
 def shingle_hashes_ordered(data: bytes, k: int) -> np.ndarray:
     """POSITION-ORDERED uint64 hashes of all k-grams — h[i] is the hash of
     the window starting at byte i (winnowing needs positions; MinHash

@@ -27,7 +27,6 @@ from miekki_ray.functions.hashing import (
     band_hashes,
     hash_params,
     minhash_from_concat,
-    shingle_hashes,
 )
 
 
@@ -43,19 +42,18 @@ class Sketcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        docs = batch["doc"].to_pylist()
-        enc = [d.encode("utf-8") for d in docs]
-        sets = [shingle_hashes(e, cfg.k) for e in enc]
+        # ONE rolling-hash pass over the batch's shared Arrow string
+        # buffer — no Python-string round trip, and the prefix sketch is a
+        # free slice of the same pass (hashing.shingle_sets_from_arrow)
+        from miekki_ray.functions.hashing import shingle_sets_from_arrow
+        sets, psets = shingle_sets_from_arrow(
+            batch["doc"], cfg.k, prefix_bytes=cfg.prefix_sketch_bytes)
         sizes = np.array([s.size for s in sets], dtype=np.int64)
         n_pslots = cfg.prefix_bands * cfg.prefix_rows
-        if docs:
+        if sets:
             concat = np.concatenate(sets)
             offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
             sig = minhash_from_concat(concat, offsets, self.a, self.b)
-            # prefix sketch: minhash over the first prefix_sketch_bytes only
-            psets = [s if len(e) <= cfg.prefix_sketch_bytes
-                     else shingle_hashes(e[:cfg.prefix_sketch_bytes], cfg.k)
-                     for e, s in zip(enc, sets)]
             psizes = np.array([s.size for s in psets], dtype=np.int64)
             pconcat = np.concatenate(psets)
             poffsets = np.concatenate(([0], np.cumsum(psizes)[:-1]))
