@@ -241,13 +241,16 @@ def _parity_split(sf_dir: str):
 
 def _index_query_matches(sf_dir: str):
     """§3.1 query-vs-index over a deterministic parity split of the
-    documents table: odd doc_ids query, even doc_ids index."""
+    documents table: odd doc_ids query, even doc_ids index. Only TRUE
+    matches (verified Jaccard or containment) are emitted — the raw
+    candidate set is an LSH internal, the match set is the contract (and
+    is oracle-checkable by brute-force cross-side Jaccard)."""
     from miekki_ray.pipelines.index_query import match_query_vs_index
 
     q, i = _parity_split(sf_dir)
     out = match_query_vs_index(q, i, _cfg())
-    return out.select_columns(
-        ["query_id", "index_id", "verified", "contained"]) \
+    return out.filter(expr="verified == True or contained == True") \
+        .select_columns(["query_id", "index_id", "verified", "contained"]) \
         .sort(["query_id", "index_id"])
 
 
@@ -443,7 +446,8 @@ def _ngram_pairs(sf_dir: str):
 
     cfg = _cfg()
     docs = reconstruct_docs(documents_as_turns(sf_dir), cfg).materialize()
-    return ngram_near_dup_pairs(docs, cfg).sort(["a", "b"])
+    return ngram_near_dup_pairs(docs, cfg) \
+        .filter(expr="verified == True").sort(["a", "b"])
 
 
 def _media_decode(sf_dir: str):
@@ -557,8 +561,161 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Shared CTE prelude for the dedup-output oracles: reconstructs the
+# adapter doc ('u' + chr(31) + text, mirroring stages/docs._assemble for
+# the single-turn documents adapter), exact-dup edges (rep = min conv_id
+# per identical doc), brute-force char-12-shingle Jaccard >= 0.8 pairs
+# over unique docs, and connected components via a recursive min-label
+# walk — the exact contract of the flagship LSH pipeline, whose verified
+# recall vs this brute force is 1.0 (tests/test_golden.py; re-verified on
+# the driver corpus before these oracles were added).
+_DEDUP_BASE = """
+    WITH RECURSIVE d AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+             'u' || chr(31) || text AS doc
+      FROM documents
+    ), u AS (
+      SELECT doc, min(conv_id) AS conv_id FROM d GROUP BY doc
+    ), ex AS (
+      SELECT u2.conv_id AS a, d.conv_id AS b
+      FROM d JOIN u u2 USING (doc)
+      WHERE d.conv_id <> u2.conv_id
+    ), pos AS (
+      SELECT conv_id, doc,
+             unnest(generate_series(1, greatest(length(doc) - 11, 1))) AS i
+      FROM u
+    ), sh AS (
+      SELECT conv_id, list(DISTINCT substr(doc, CAST(i AS INTEGER), 12)) AS s
+      FROM pos GROUP BY conv_id
+    ), jp AS (
+      SELECT a.conv_id AS a, b.conv_id AS b
+      FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+    ), alledges AS (
+      SELECT a, b, 'exact' AS kind FROM ex
+      UNION ALL SELECT a, b, 'jaccard' FROM jp
+    ), sym AS (
+      SELECT a, b FROM alledges UNION SELECT b, a FROM alledges
+    ), walk AS (
+      SELECT conv_id AS node, conv_id AS label FROM d
+      UNION
+      SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+    ), comp AS (
+      SELECT node AS conv_id, min(label) AS cluster_id FROM walk GROUP BY node
+    )
+"""
+
+# Cross-side variant for the query-vs-index / incremental oracles: odd
+# doc_ids are the query/new batch, even doc_ids the index/kept corpus.
+_PARITY_BASE = """
+    WITH RECURSIVE d AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+             'u' || chr(31) || text AS doc, doc_id % 2 = 1 AS is_q
+      FROM documents
+    ), pos AS (
+      SELECT conv_id, is_q, doc,
+             unnest(generate_series(1, greatest(length(doc) - 11, 1))) AS i
+      FROM d
+    ), sh AS (
+      SELECT conv_id, is_q,
+             list(DISTINCT substr(doc, CAST(i AS INTEGER), 12)) AS s
+      FROM pos GROUP BY conv_id, is_q
+    ), mt AS (
+      SELECT q.conv_id AS query_id, i.conv_id AS index_id
+      FROM sh q JOIN sh i ON q.is_q AND NOT i.is_q
+      WHERE CAST(len(list_intersect(q.s, i.s)) AS DOUBLE) /
+            (len(q.s) + len(i.s) - len(list_intersect(q.s, i.s))) >= 0.8
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_edges": _DEDUP_BASE + """
+            SELECT a, b, kind FROM alledges ORDER BY a, b
+        """,
+        "dedup_clusters": _DEDUP_BASE + """
+            SELECT conv_id, cluster_id FROM comp ORDER BY conv_id
+        """,
+        "dedup_keep_list": _DEDUP_BASE + """
+            SELECT conv_id FROM comp WHERE conv_id = cluster_id
+            ORDER BY conv_id
+        """,
+        "dedup_cluster_stats": _DEDUP_BASE + """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(count(*) - count(DISTINCT cluster_id) AS BIGINT)
+                       AS n_removed,
+                   CAST(count(*) - count(DISTINCT cluster_id) AS DOUBLE)
+                       / count(*) AS dedup_ratio
+            FROM comp
+        """,
+        # word-trigram Jaccard; the split class mirrors Python str.split(),
+        # which (unlike RE2 \\s) also treats FS/GS/RS/US 0x1c-0x1f as
+        # whitespace — the adapter doc embeds chr(31) as the role separator
+        "ngram_near_dup_pairs": r"""
+            WITH d AS (
+              SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
+                     'u' || chr(31) || text AS doc
+              FROM documents
+            ), w AS (
+              SELECT conv_id,
+                     list_filter(regexp_split_to_array(doc,
+                         '[\s\x1c-\x1f]+'), x -> x <> '') AS ws
+              FROM d
+            ), tg AS (
+              SELECT conv_id,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(ws) - 2),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                     ELSE list_distinct(ws) END AS s
+              FROM w
+            )
+            SELECT a.conv_id AS a, b.conv_id AS b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                   (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                       AS jaccard,
+                   TRUE AS verified
+            FROM tg a JOIN tg b ON a.conv_id < b.conv_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.8
+            ORDER BY a, b
+        """,
+        "index_query_matches": _PARITY_BASE + """
+            SELECT query_id, index_id, TRUE AS verified, FALSE AS contained
+            FROM mt ORDER BY query_id, index_id
+        """,
+        "incremental_clusters": _PARITY_BASE + """
+            , oe AS (
+              SELECT a.conv_id AS a, b.conv_id AS b
+              FROM sh a JOIN sh b
+                ON a.conv_id < b.conv_id AND a.is_q AND b.is_q
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.8
+            ), sym AS (
+              SELECT a, b FROM oe UNION SELECT b, a FROM oe
+            ), walk AS (
+              SELECT conv_id AS node, conv_id AS label FROM d WHERE is_q
+              UNION
+              SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node
+            ), comp AS (
+              SELECT node AS conv_id, min(label) AS root FROM walk
+              GROUP BY node
+            ), reps AS (
+              SELECT c.root, min(m.index_id) AS existing_rep
+              FROM comp c JOIN mt m ON m.query_id = c.conv_id
+              GROUP BY c.root
+            )
+            SELECT c.conv_id,
+                   coalesce(r.existing_rep, c.root) AS cluster_id,
+                   r.existing_rep IS NULL AS is_new_cluster
+            FROM comp c LEFT JOIN reps r USING (root)
+            ORDER BY c.conv_id
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
