@@ -367,6 +367,48 @@ def _doc_fingerprints(sf_dir: str):
 
 # ------------------------------------------------- windows / stats / extras
 
+def _events_asof_orders(sf_dir: str):
+    """Point-in-time lookup: each event joined to the customer's latest
+    order at-or-before the event time (tie-break: max o_orderkey)."""
+    import pyarrow as pa
+
+    from miekki_ray import relational as R
+    from miekki_ray.stages.asof import asof_join
+
+    ev = R._read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    od = R._read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(
+        ev, od, key="user_id", left_ts="ts",
+        right_key="o_custkey", right_ts="o_orderdate",
+        left_cols={"event_id": pa.int64(), "value": pa.float64()},
+        right_cols={"o_orderkey": pa.int64(),
+                    "o_totalprice": pa.float64()},
+        tie_col="o_orderkey", num_partitions=16)
+    return out.sort("event_id")
+
+
+def _events_rolling(sf_dir: str):
+    from miekki_ray import relational as R
+    from miekki_ray.stages.windows import rolling_window
+
+    ev = R._read(sf_dir, "events",
+                 ["event_id", "user_id", "ts", "value"])
+    return rolling_window(ev, window=3, num_partitions=16).sort("event_id")
+
+
+def _documents_top_tokens(sf_dir: str):
+    from miekki_ray import relational as R
+
+    return R.documents_top_tokens(sf_dir, k=20)
+
+
+def _documents_hash_sample(sf_dir: str):
+    from miekki_ray import relational as R
+
+    return R.documents_hash_sample(sf_dir)
+
+
 def _events_tumbling(sf_dir: str):
     import ray.data
 
@@ -546,6 +588,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query-vs-index + incremental pipelines (rows-only)
         "index_query_matches": _index_query_matches,
         "incremental_clusters": _incremental_clusters,
+        # as-of join / rolling window / heavy hitters / sampling
+        "events_asof_orders": _events_asof_orders,
+        "events_rolling": _events_rolling,
+        "documents_top_tokens": _documents_top_tokens,
+        "documents_hash_sample": _documents_hash_sample,
         # windows / stats (SQL-oracled)
         "events_tumbling": _events_tumbling,
         "events_hopping": _events_hopping,
@@ -995,6 +1042,46 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[]))
                   >= 0.98
             ORDER BY a, b
+        """,
+        "events_asof_orders": """
+            WITH m AS (
+                SELECT e.user_id, e.ts, e.event_id, e.value,
+                       o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC,
+                                    o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT user_id, ts, event_id, value, o_orderkey, o_totalprice
+            FROM m WHERE rn = 1 ORDER BY event_id
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, ts, value,
+                   ROUND(SUM(value) OVER w, 6) AS roll_sum,
+                   ROUND(AVG(value) OVER w, 6) AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "documents_top_tokens": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '[\s\x1c-\x1f]+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "documents_hash_sample": """
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+            ORDER BY doc_id
         """,
         "events_tumbling": """
             SELECT event_type,

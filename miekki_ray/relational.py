@@ -350,3 +350,50 @@ def union_sources(sf_dir: str):
     u = hi.union(pri)
     n = len(u.unique("o_orderkey"))
     return pd.DataFrame({"n": [n]})
+
+
+def documents_top_tokens(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k tokens by frequency — the wordcount/heavy-hitter
+    shape. Each batch pre-aggregates its own (token, n) counts BEFORE the
+    shuffle (combiner pattern: the grouped exchange moves one row per
+    distinct token per batch, not one per token occurrence), then one
+    grouped sum + top-k sort. Tokenization is Python str.split()
+    semantics (whitespace runs, incl. 0x1c-0x1f)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("token").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "token"], descending=[True, False]).limit(k))
+
+
+def documents_hash_sample(sf_dir: str):
+    """Deterministic content-addressed 1/16 sample: keep docs whose
+    md5(doc_id) digest starts with '0'. Unlike seeded RNG sampling
+    (implementation-defined across engines), a hash predicate is exactly
+    reproducible anywhere — the DuckDB oracle states the same predicate.
+    md5 is per-row C code via hashlib; for pure-speed sampling at scale
+    use a vectorized splitmix64 over the int key instead (the predicate
+    just has to be stated consistently on both sides)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
+             for i in batch["doc_id"].astype("int64")),
+            dtype=bool, count=len(batch))
+        out = batch[keep]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "n_chars": out["text"].str.len().astype("int64"),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")

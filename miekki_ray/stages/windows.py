@@ -70,6 +70,50 @@ def hopping_window_counts(events: ray.data.Dataset, size_s: int,
                        Sum("value", alias_name="sum_value")))
 
 
+def rolling_window(events: ray.data.Dataset, window: int = 3,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-user rolling sum/avg over the last ``window`` events, ordered
+    by (ts, event_id) within each user — the ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW frame of the SQL oracle.
+
+    Same partition-by-key idiom as session_windows: one hash shuffle on
+    user_id, then one vectorized pass per partition. The frame sum is
+    built as an explicit oldest-to-newest chain of grouped shifts (not a
+    cumsum difference), so the FP addition order matches a sequential SQL
+    evaluation and there is no accumulated-cumsum drift; both sides are
+    rounded half-away-from-zero to 6 dp."""
+    from miekki_ray.functions.textstats import _round6_half_away
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        grp = g.groupby("user_id")["value"]
+        acc = pd.Series(np.zeros(len(g)), index=g.index)
+        n = pd.Series(np.ones(len(g), dtype=np.int64), index=g.index)
+        for lag in range(window - 1, 0, -1):     # oldest first
+            s = grp.shift(lag)
+            acc = acc + s.fillna(0.0)
+            n = n + s.notna().astype(np.int64)
+        acc = acc + g["value"]
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "value": g["value"],
+            "roll_sum": _round6_half_away(acc.to_numpy()),
+            "roll_avg": _round6_half_away((acc / n).to_numpy()),
+        })
+
+    return (events.select_columns(["event_id", "user_id", "ts", "value"])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part").map_groups(roll, batch_format="pandas"))
+
+
 def session_windows(events: ray.data.Dataset, gap_s: int,
                     num_partitions: int = 16) -> ray.data.Dataset:
     """Per-user session windows: a session ends after a gap > gap_s.
