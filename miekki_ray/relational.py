@@ -347,8 +347,10 @@ def union_sources(sf_dir: str):
                                  "o_orderpriority"])
     hi = o.filter(expr="o_totalprice > 200000.0")
     pri = o.filter(expr="o_orderpriority == '1-URGENT'")
-    u = hi.union(pri)
-    n = len(u.unique("o_orderkey"))
+    u = hi.union(pri).select_columns(["o_orderkey"])
+    # distributed distinct: grouped count shuffles 8-byte keys, only the
+    # scalar reaches the driver (no driver-side key list at corpus scale)
+    n = u.groupby("o_orderkey").aggregate(Count(alias_name="_c")).count()
     return pd.DataFrame({"n": [n]})
 
 
