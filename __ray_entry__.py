@@ -388,6 +388,25 @@ def _events_asof_orders(sf_dir: str):
     return out.sort("event_id")
 
 
+def _events_range_next10m(sf_dir: str):
+    """Interval (range) join: for each event, count + sum the SAME user's
+    events in the following 10 minutes — equality key + time-range
+    predicate, the classic sessionization/attribution join shape."""
+    import pyarrow as pa
+
+    from miekki_ray import relational as R
+    from miekki_ray.stages.range_join import range_join_agg
+
+    ev = R._read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = range_join_agg(
+        ev, ev, key="user_id", left_ts="ts",
+        right_key="user_id", right_ts="ts",
+        lo_us=0, hi_us=10 * 60 * 1_000_000,
+        left_cols={"event_id": pa.int64()},
+        sum_col="value", num_partitions=16)
+    return out.sort("event_id")
+
+
 def _events_rolling(sf_dir: str):
     from miekki_ray import relational as R
     from miekki_ray.stages.windows import rolling_window
@@ -590,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_clusters": _incremental_clusters,
         # as-of join / rolling window / heavy hitters / sampling
         "events_asof_orders": _events_asof_orders,
+        "events_range_next10m": _events_range_next10m,
         "events_rolling": _events_rolling,
         "documents_top_tokens": _documents_top_tokens,
         "documents_hash_sample": _documents_hash_sample,
@@ -1056,6 +1076,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts, event_id, value, o_orderkey, o_totalprice
             FROM m WHERE rn = 1 ORDER BY event_id
+        """,
+        "events_range_next10m": """
+            SELECT a.user_id, a.ts, a.event_id,
+                   CAST(count(b.event_id) AS BIGINT) AS n_matched,
+                   ROUND(COALESCE(SUM(b.value), 0), 6) AS sum_matched
+            FROM events a LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 10 MINUTE
+            GROUP BY a.user_id, a.ts, a.event_id
+            ORDER BY a.event_id
         """,
         "events_rolling": """
             SELECT event_id, user_id, ts, value,
