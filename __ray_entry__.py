@@ -407,6 +407,21 @@ def _events_range_next10m(sf_dir: str):
     return out.sort("event_id")
 
 
+def _documents_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT text) — constant-traffic
+    mergeable sketch (2^14 one-byte registers per block, max-merge tree);
+    the exact twin is documents_distinct_count. Rows-only by nature
+    (estimator output); tests/test_bloom_hll.py pins the error bound."""
+    import pandas as pd
+
+    from miekki_ray import relational as R
+    from miekki_ray.functions.hll import approx_distinct
+
+    ds = R._read(sf_dir, "documents", ["text"])
+    est = approx_distinct(ds, "text")
+    return pd.DataFrame({"n_approx": [round(est)]})
+
+
 def _events_rolling(sf_dir: str):
     from miekki_ray import relational as R
     from miekki_ray.stages.windows import rolling_window
@@ -577,6 +592,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_distinct_custs_per_priority":
             R.orders_distinct_custs_per_priority,
         "events_value_quantiles": R.events_value_quantiles,
+        "lineitem_rollup": R.lineitem_rollup,
+        "events_stats_by_type": R.events_stats_by_type,
+        "events_pivot_by_type": R.events_pivot_by_type,
+        "lineitem_semi_hot_orders": R.lineitem_semi_hot_orders,
+        "documents_tfidf_top_terms": R.documents_tfidf_top_terms,
         # documents-table dedup ops (DuckDB-oracled)
         "documents_exact_keep_first": R.documents_exact_keep_first,
         "documents_dup_clusters": R.documents_dup_clusters,
@@ -610,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as-of join / rolling window / heavy hitters / sampling
         "events_asof_orders": _events_asof_orders,
         "events_range_next10m": _events_range_next10m,
+        "documents_approx_distinct": _documents_approx_distinct,
         "events_rolling": _events_rolling,
         "documents_top_tokens": _documents_top_tokens,
         "documents_hash_sample": _documents_hash_sample,
@@ -865,6 +886,39 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "events_stats_by_type": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS avg_value,
+                   ROUND(STDDEV_POP(value), 6) AS stddev_value,
+                   ROUND(CORR(value, user_id), 6) AS corr_value_user
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_pivot_by_type": """
+            SELECT user_id,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 6) AS sum_click,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 6) AS sum_error,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 6) AS sum_purchase,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'), 0), 6) AS sum_signup,
+                   ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 6) AS sum_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_semi_hot_orders": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 400000)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "documents_exact_keep_first": """
             SELECT MIN(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id
@@ -1107,6 +1161,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY token
             ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "documents_tfidf_top_terms": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(text, '[\s\x1c-\x1f]+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tf GROUP BY token
+            )
+            SELECT doc_id, token, tf, df,
+                   ROUND(tf * ln(CAST((SELECT count(*) FROM documents)
+                                      AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (token)
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf DESC, df ASC, token ASC) <= 3
+            ORDER BY doc_id, token
         """,
         "documents_hash_sample": """
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars

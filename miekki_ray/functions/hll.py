@@ -1,0 +1,84 @@
+"""HyperLogLog approximate count-distinct — the mergeable-sketch answer
+to COUNT(DISTINCT x) when the distinct set itself is corpus-scale (the
+exact path, relational.documents_distinct_count, shuffles one row per
+distinct hash; HLL moves a fixed 2^p-byte register array per block
+instead, merged with an elementwise max tree — constant traffic at any
+data size).
+
+Standard HLL (Flajolet et al. 2007) with the small-range linear-counting
+correction; p=14 → 16,384 one-byte registers, ~0.81% relative standard
+error. Hashing is the repo's splitmix64 over xxhash-free 64-bit inputs;
+string keys are hashed with pandas' stable 64-bit row hash first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+from miekki_ray.functions.hashing import splitmix64
+
+U64 = np.uint64
+
+
+def _key_hashes(col) -> np.ndarray:
+    """Stable 64-bit hashes for an Arrow/pandas column of any dtype."""
+    s = col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
+    if pd.api.types.is_integer_dtype(s):
+        return splitmix64(s.to_numpy(dtype=np.int64).view(U64))
+    h = pd.util.hash_pandas_object(s.astype(str), index=False) \
+        .to_numpy(dtype=U64)
+    return splitmix64(h)
+
+
+def hll_registers(hashes: np.ndarray, p: int = 14) -> np.ndarray:
+    """Fold 64-bit hashes into a 2^p register array (max leading-zero
+    rank per bucket), fully vectorized: bucket = top p bits, rank =
+    1 + clz of the remaining 64-p bits (computed via log2 on the
+    remaining-bit integer — exact for < 2^53, and the 64-p = 50 value
+    bits fit)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if hashes.size == 0:
+        return regs
+    idx = (hashes >> U64(64 - p)).astype(np.int64)
+    rest = hashes & ((U64(1) << U64(64 - p)) - U64(1))
+    # rank = number of leading zeros within the (64-p)-bit field, + 1
+    nbits = np.zeros(hashes.size, dtype=np.int64)
+    nz = rest > 0
+    nbits[nz] = np.floor(np.log2(rest[nz].astype(np.float64))).astype(
+        np.int64) + 1
+    rank = ((64 - p) - nbits + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected harmonic-mean estimate with linear counting for the
+    small range (the classic two-regime estimator)."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, key: str, p: int = 14) -> float:
+    """Distributed HLL: per-block register partials, elementwise-max merge
+    tree; the driver receives one 2^p-byte array."""
+    def acc_block(block) -> np.ndarray:
+        tbl = block if isinstance(block, pa.Table) \
+            else pa.Table.from_pandas(block)
+        return hll_registers(_key_hashes(tbl[key]), p)
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(1 << p, dtype=np.uint8),
+        accumulate_block=lambda a, b: np.maximum(a, acc_block(b)),
+        merge=np.maximum,
+        name="hll")
+    return hll_estimate(ds.aggregate(agg)["hll"])

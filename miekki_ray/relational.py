@@ -399,3 +399,205 @@ def documents_hash_sample(sf_dir: str):
         })
 
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def lineitem_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate in ONE fact-table pass: the finest
+    grouped aggregate (returnflag, linestatus) is the only shuffle that
+    touches lineitem; the coarser levels (per-returnflag subtotals and the
+    grand total) re-aggregate that TINY result — never a second scan.
+    This is the standard scale rendering of `GROUP BY ROLLUP(a, b)`:
+    cost = one exchange over group-cardinality rows, regardless of level
+    count. Subtotal rows carry NULL in the rolled-up key columns, exactly
+    like the SQL oracle's output."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    finest = (ds.groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                         Count(alias_name="n")))
+
+    def widen(levels):
+        """Re-aggregate the finest level to each coarser grouping set."""
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            outs = [batch.assign(lvl=0)]
+            g1 = (batch.groupby("l_returnflag", as_index=False)
+                  .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+            g1["l_linestatus"] = None
+            outs.append(g1.assign(lvl=1))
+            g0 = pd.DataFrame({
+                "l_returnflag": [None], "l_linestatus": [None],
+                "sum_qty": [batch["sum_qty"].sum()],
+                "n": [batch["n"].sum()], "lvl": [2]})
+            outs.append(g0)
+            res = pd.concat(outs, ignore_index=True)
+            res["sum_qty"] = res["sum_qty"].round(2)
+            res["n"] = res["n"].astype("int64")
+            return res[["l_returnflag", "l_linestatus", "sum_qty", "n",
+                        "lvl"]]
+        return f
+
+    # the finest aggregate is group-cardinality-sized (tiny) — one block
+    out = (finest.repartition(1)
+           .map_batches(widen(None), batch_format="pandas")
+           .drop_columns(["lvl"]))
+    return out
+
+
+def events_stats_by_type(sf_dir: str):
+    """Mergeable statistical aggregates (stddev / correlation) per group
+    via the combiner pattern: each batch emits per-key moment partials
+    (n, Σx, Σx², Σy, Σy², Σxy) — so the grouped exchange moves one
+    6-number row per key per batch, not the raw rows — then one small
+    grouped sum merges them and a final map closes the formulas.
+    x = event value, y = user_id (an arbitrary second numeric; the point
+    is the machinery). Matches DuckDB STDDEV_POP / CORR (scale-invariant,
+    so the sample-vs-population factor cancels in corr)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["value"].to_numpy(dtype=np.float64)
+        y = batch["user_id"].to_numpy(dtype=np.float64)
+        d = pd.DataFrame({"event_type": batch["event_type"],
+                          "_n": 1.0, "_sx": x, "_sxx": x * x,
+                          "_sy": y, "_syy": y * y, "_sxy": x * y})
+        return d.groupby("event_type", as_index=False).sum()
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("event_type")
+              .aggregate(Sum("_n", alias_name="_n"),
+                         Sum("_sx", alias_name="_sx"),
+                         Sum("_sxx", alias_name="_sxx"),
+                         Sum("_sy", alias_name="_sy"),
+                         Sum("_syy", alias_name="_syy"),
+                         Sum("_sxy", alias_name="_sxy")))
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["_n"].to_numpy()
+        mx, my = b["_sx"].to_numpy() / n, b["_sy"].to_numpy() / n
+        vx = b["_sxx"].to_numpy() / n - mx * mx
+        vy = b["_syy"].to_numpy() / n - my * my
+        cov = b["_sxy"].to_numpy() / n - mx * my
+        sd = np.sqrt(np.maximum(vx, 0.0))
+        denom = np.sqrt(np.maximum(vx * vy, 0.0))
+        corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0),
+                        np.nan)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "n": n.astype(np.int64),
+            "avg_value": np.round(mx, 6),
+            "stddev_value": np.round(sd, 6),
+            "corr_value_user": np.round(corr, 6)})
+
+    return merged.map_batches(finalize, batch_format="pandas") \
+        .sort("event_type")
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_by_type(sf_dir: str):
+    """Pivot (long → wide) via conditional aggregation: per user, one
+    column per event_type holding that type's summed value. Each batch
+    pivots locally first (combiner), so the exchange moves one 5-float
+    row per user per batch; the grouped sum then merges. Fixed column
+    set = the declared EVENT_TYPES vocabulary (pivot at scale requires a
+    known/declared vocabulary — discovering it is a separate tiny
+    distinct-scan)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch.pivot_table(index="user_id", columns="event_type",
+                              values="value", aggfunc="sum", fill_value=0.0)
+        p = p.reindex(columns=list(EVENT_TYPES), fill_value=0.0)
+        p.columns = [f"sum_{c}" for c in p.columns]
+        return p.reset_index()
+
+    aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in EVENT_TYPES]
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id").aggregate(*aggs))
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in EVENT_TYPES:
+            b[f"sum_{c}"] = b[f"sum_{c}"].round(6)
+        b["user_id"] = b["user_id"].astype("int64")
+        return b
+
+    return out.map_batches(rnd, batch_format="pandas").sort("user_id")
+
+
+def lineitem_semi_hot_orders(sf_dir: str):
+    """Bloom-prefiltered exact semi-join (stages/bloom.py): lineitems of
+    hot (totalprice > 400k) orders, aggregated per returnflag. The Bloom
+    prefilter drops most of the fact table BEFORE the exact join's
+    exchange; the join then removes the Bloom's false positives, so the
+    result is exact."""
+    from miekki_ray.stages.bloom import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    hot = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .filter(expr="o_totalprice > 400000.0")
+    j = bloom_semi_join(li, hot, probe_key="l_orderkey",
+                        build_key="o_orderkey", num_partitions=8)
+    out = (j.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n"),
+                      Sum("l_extendedprice", alias_name="sum_price")))
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_price"] = b["sum_price"].round(2)
+        return b
+
+    return out.map_batches(rnd, batch_format="pandas").sort("l_returnflag")
+
+
+def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-doc top-k terms by TF-IDF — the vocabulary-broadcast pattern:
+    pass 1 computes document frequency per token with the combiner idiom
+    (per-batch DISTINCT doc-token pairs, then one grouped sum over
+    vocabulary-sized rows); the resulting df table is vocabulary-sized
+    (grows ~log with corpus), so it is `ray.put` ONCE and merged into
+    every scoring batch — pass 2 then needs NO shuffle at all, because a
+    doc's terms never leave its batch. Ranking is integer-exact
+    (tf DESC, df ASC, token ASC) so the oracle comparison cannot flip on
+    float ties; tfidf = tf·ln(N/df) is reported as a rounded column."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (batch.set_index("doc_id")["text"].str.split().explode()
+             .dropna().reset_index())
+        t.columns = ["doc_id", "token"]
+        u = t.drop_duplicates()
+        vc = u["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "df": vc.to_numpy(dtype=np.int64)})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pandas")
+              .groupby("token").aggregate(Sum("df", alias_name="df"))
+              .to_pandas())          # vocabulary-sized, not corpus-sized
+    import ray as _ray
+    df_ref = _ray.put(df_tbl)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfm = _ray.get(df_ref)
+        t = (batch.set_index("doc_id")["text"].str.split().explode()
+             .dropna().reset_index())
+        t.columns = ["doc_id", "token"]
+        tf = (t.groupby(["doc_id", "token"], as_index=False)
+              .size().rename(columns={"size": "tf"}))
+        m = tf.merge(dfm, on="token", how="left")
+        m["tfidf"] = np.round(
+            m["tf"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / m["df"].to_numpy(dtype=np.float64)),
+            6)
+        m = m.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True],
+                          kind="mergesort")
+        top = m.groupby("doc_id", sort=False).head(k)
+        top = top.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
+        return top[["doc_id", "token", "tf", "df", "tfidf"]]
+
+    return (ds.map_batches(score, batch_format="pandas")
+            .sort(["doc_id", "token"]))

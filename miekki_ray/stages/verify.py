@@ -61,7 +61,13 @@ def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         # startup, but MORE partitions feed the downstream streaming
         # verifier sooner. Floor 8, growing with pair volume up to the
         # configured shuffle width.
-        P = 1 if n_pairs < 20000 else min(P, max(8, n_pairs // 50000))
+        # the floor is also capped by the session's CPU count: each join
+        # partition is a shuffle-aggregator ACTOR, and a pool wider than
+        # the session (e.g. 16 actors on a 2-cpu session) timeshares one
+        # core each and crawls [measured: 2-cpu leg stuck at load 1.0]
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        floor = max(2, min(8, ncpu))
+        P = 1 if n_pairs < 20000 else min(P, max(floor, n_pairs // 50000))
     if os.environ.get("MIEKKI_ATTACH_WIDTH"):
         P = int(os.environ["MIEKKI_ATTACH_WIDTH"])
     j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
