@@ -407,6 +407,107 @@ def _events_range_next10m(sf_dir: str):
     return out.sort("event_id")
 
 
+def _embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (stages/
+    kmeans.py): full-corpus refinement with broadcast centroids and
+    tree-merged partial sums. Rows-only (iterative, not SQL-expressible);
+    tests/test_kmeans.py pins planted-cluster recovery and determinism."""
+    from miekki_ray import relational as R
+    from miekki_ray.stages.kmeans import kmeans_fit_predict
+
+    ds = R._read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out, _ = kmeans_fit_predict(ds, k=8, iters=5, seed=7,
+                                extra_cols=("label",))
+    return out.sort("vec_id")
+
+
+def _events_lag_lead(sf_dir: str):
+    """Per-user LAG/LEAD window columns vs the SQL window oracle."""
+    from miekki_ray import relational as R
+    from miekki_ray.stages.windows import lag_lead
+
+    ev = R._read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return lag_lead(ev).sort("event_id")
+
+
+def _events_value_quantiles_approx(sf_dir: str):
+    """t-digest per-key approximate quantiles — the mergeable-sketch
+    scale path for events_value_quantiles (whose exact rendering needs a
+    key's rows co-resident). Rows-only by nature (estimator output);
+    tests/test_tdigest.py pins the error bounds."""
+    from miekki_ray import relational as R
+    from miekki_ray.functions.tdigest import grouped_approx_quantiles
+
+    ds = R._read(sf_dir, "events", ["event_type", "value"])
+    return grouped_approx_quantiles(ds, "event_type", "value") \
+        .sort("event_type")
+
+
+def _documents_jsonl_agg(sf_dir: str):
+    """S-layer JSONL round-trip: documents → write_json → read_json →
+    grouped agg, oracled against the ORIGINAL parquet — the reader/writer
+    pair is lossless for string/int payloads or the hash comparison
+    fails."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from miekki_ray import relational as R
+    from miekki_ray.sources.text_formats import read_jsonl, write_jsonl
+
+    src = R._read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tmp = tempfile.mkdtemp(prefix="miekki_jsonl_")
+    try:
+        write_jsonl(src, tmp)
+        ds = read_jsonl(tmp)
+
+        def chars(batch):
+            import pyarrow.compute as pc
+            return batch.append_column(
+                "n_chars", pc.cast(pc.utf8_length(batch["text"]),
+                                   pa.int64()))
+
+        return (ds.map_batches(chars, batch_format="pyarrow")
+                .groupby("lang")
+                .aggregate(Count(alias_name="n"),
+                           Sum("n_chars", alias_name="sum_chars"))
+                .sort("lang").to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _nation_csv_region_join(sf_dir: str):
+    """S-layer CSV round-trip with pinned dtypes: nation → write_csv →
+    read_csv(column_types=...) → broadcast-style join with region →
+    counts per region, oracled against the original parquet tables."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from miekki_ray import relational as R
+    from miekki_ray.sources.text_formats import read_csv, write_csv
+
+    nation = R._read(sf_dir, "nation", ["n_nationkey", "n_name",
+                                        "n_regionkey"])
+    region = R._read(sf_dir, "region", ["r_regionkey", "r_name"])
+    tmp = tempfile.mkdtemp(prefix="miekki_csv_")
+    try:
+        write_csv(nation, tmp)
+        n = read_csv(tmp, column_types={"n_nationkey": pa.int32(),
+                                        "n_name": pa.string(),
+                                        "n_regionkey": pa.int32()})
+        j = n.join(region, join_type="inner", num_partitions=2,
+                   on=("n_regionkey",), right_on=("r_regionkey",))
+        return (j.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+                .sort("r_name").to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _documents_approx_distinct(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT text) — constant-traffic
     mergeable sketch (2^14 one-byte registers per block, max-merge tree);
@@ -631,6 +732,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _events_asof_orders,
         "events_range_next10m": _events_range_next10m,
         "documents_approx_distinct": _documents_approx_distinct,
+        "documents_jsonl_agg": _documents_jsonl_agg,
+        "events_value_quantiles_approx": _events_value_quantiles_approx,
+        "events_lag_lead": _events_lag_lead,
+        "embedding_kmeans": _embedding_kmeans,
+        "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
         "documents_top_tokens": _documents_top_tokens,
         "documents_hash_sample": _documents_hash_sample,
@@ -1161,6 +1267,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY token
             ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "events_lag_lead": """
+            SELECT event_id, user_id, ts, value,
+                   LAG(value) OVER w AS prev_value,
+                   LEAD(value) OVER w AS next_value,
+                   ROUND(CAST(epoch_us(ts)
+                              - LAG(epoch_us(ts)) OVER w AS DOUBLE)
+                         / 1000000.0, 6) AS gap_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        "documents_jsonl_agg": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "nation_csv_region_join": """
+            SELECT r.r_name, COUNT(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
         """,
         "documents_tfidf_top_terms": r"""
             WITH tok AS (

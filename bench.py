@@ -144,6 +144,10 @@ def run_bench(num_cpus: int) -> dict:
         q["reconstruct_docs"] = _time(
             lambda: __import__("__ray_entry__")._reconstruct_docs(SF_DIR)
             .count())
+        q["lineitem_semi_hot_orders"] = _time(
+            lambda: R.lineitem_semi_hot_orders(SF_DIR).to_pandas())
+        q["documents_tfidf_top_terms"] = _time(
+            lambda: R.documents_tfidf_top_terms(SF_DIR).to_pandas())
 
     total = round(sum(q.values()), 3)
     return {

@@ -22,6 +22,13 @@ def _mat(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray's ArrowTensorArray (from_pandas over ndarray cells):
+        # to_numpy yields the dense (n, d) matrix directly.
+        m = arr.to_numpy(zero_copy_only=False)
+        if m.dtype == object:
+            m = np.stack(m)
+        return m.reshape(len(arr), -1).astype(dtype, copy=False)
     if pa.types.is_fixed_size_list(arr.type):
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         return flat.reshape(len(arr), arr.type.list_size).astype(

@@ -151,3 +151,42 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
             .map_batches(add_part, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("_part").map_groups(sessionize, batch_format="pandas"))
+
+
+def lag_lead(events: ray.data.Dataset,
+             num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-user LAG/LEAD: previous/next event's value and the gap (in
+    seconds) since the previous event, ordered by (ts, event_id) within
+    each user — SQL's LAG(value)/LEAD(value)/ts-LAG(ts) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id). Same one-shuffle partition-by-key
+    idiom as rolling_window: grouped shifts are a single vectorized pass
+    per partition."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def shifts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        by = g.groupby("user_id")
+        prev_v = by["value"].shift(1)
+        next_v = by["value"].shift(-1)
+        prev_ts = by["ts"].shift(1)
+        gap = (g["ts"].to_numpy(dtype="datetime64[us]").view(np.int64)
+               - prev_ts.to_numpy(dtype="datetime64[us]").view(np.int64))
+        gap_s = np.where(prev_ts.isna().to_numpy(), np.nan,
+                         gap / 1_000_000.0)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "value": g["value"],
+            "prev_value": prev_v,
+            "next_value": next_v,
+            "gap_s": np.round(gap_s, 6),
+        })
+
+    return (events.select_columns(["event_id", "user_id", "ts", "value"])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part").map_groups(shifts, batch_format="pandas"))
