@@ -698,6 +698,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_by_type": R.events_pivot_by_type,
         "lineitem_semi_hot_orders": R.lineitem_semi_hot_orders,
         "documents_tfidf_top_terms": R.documents_tfidf_top_terms,
+        "events_user_order_full_outer": R.events_user_order_full_outer,
+        "documents_stratified_sample": R.documents_stratified_sample,
+        "events_value_histogram": R.events_value_histogram,
+        "documents_first_word_counts": R.documents_first_word_counts,
         # documents-table dedup ops (DuckDB-oracled)
         "documents_exact_keep_first": R.documents_exact_keep_first,
         "documents_dup_clusters": R.documents_dup_clusters,
@@ -991,6 +995,37 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.9), 6) AS p90,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_user_order_full_outer": """
+            WITH e AS (
+                SELECT user_id, COUNT(*) AS n_events,
+                       ROUND(SUM(value), 2) AS sum_value
+                FROM events GROUP BY user_id
+            )
+            SELECT COALESCE(e.user_id, c.c_custkey) AS custkey,
+                   CAST(e.n_events AS DOUBLE) AS n_events,
+                   e.sum_value, c.c_mktsegment AS segment
+            FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+            ORDER BY custkey
+        """,
+        "documents_stratified_sample": """
+            SELECT lang, doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS INTEGER) AS rank
+            FROM documents
+            QUALIFY rank <= 5
+            ORDER BY lang, rank
+        """,
+        "events_value_histogram": """
+            SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+                   COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+            FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "documents_first_word_counts": """
+            SELECT regexp_extract(text, '^([a-z]+)') AS w, COUNT(*) AS n
+            FROM documents GROUP BY w ORDER BY w
         """,
         "lineitem_rollup": """
             SELECT l_returnflag, l_linestatus,

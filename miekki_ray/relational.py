@@ -601,3 +601,103 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
 
     return (ds.map_batches(score, batch_format="pandas")
             .sort(["doc_id", "token"]))
+
+
+def events_user_order_full_outer(sf_dir: str):
+    """FULL OUTER join coverage (SURVEY §2.4): per-user event activity
+    against the customer dimension on user_id = c_custkey. Both sides
+    produce unmatched rows (users without a customer row and customers
+    without events) so all three outer-join cases are exercised; the
+    event side is pre-aggregated before the join so the exchange carries
+    one row per key, not one per event."""
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    e = (ev.groupby("user_id")
+         .aggregate(Count(alias_name="n_events"),
+                    Sum("value", alias_name="sum_value")))
+    j = e.join(cust, join_type="full_outer", num_partitions=4,
+               on=("user_id",), right_on=("c_custkey",))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray's hash join coalesces on/right_on into the left key column.
+        # Unmatched-side NULLs surface as float64 NaN (matching DuckDB's
+        # pandas conversion); the unique non-null key is named so it sorts
+        # first alphabetically, pinning the hash-compare row order.
+        return pd.DataFrame({
+            "custkey": batch["user_id"].astype("int64"),
+            "n_events": batch["n_events"].astype("float64"),
+            "sum_value": np.round(
+                batch["sum_value"].to_numpy(dtype=np.float64), 2),
+            "segment": batch["c_mktsegment"],
+        })
+
+    return j.map_batches(finish, batch_format="pandas").sort("custkey")
+
+
+def documents_stratified_sample(sf_dir: str, n: int = 5):
+    """Deterministic stratified sampling (SURVEY §2.6 O3 with an oracle):
+    n docs per lang stratum, ranked by md5(doc_id) — a content-addressed
+    order both engines can state exactly, unlike seeded RNG. Same
+    coarse-partition + one-vectorized-rank-pass idiom as
+    customers_top_per_segment; md5 is per-row C code (hashlib), fine for
+    a sampling stage."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    P = 8
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        md5 = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest() for i in ids),
+            dtype="<U32", count=len(batch))
+        h = pd.util.hash_pandas_object(batch["lang"].astype(str),
+                                       index=False).to_numpy(np.uint64)
+        return pd.DataFrame({
+            "doc_id": ids, "lang": batch["lang"], "_md5": md5,
+            "_p": (h % np.uint64(P)).astype(np.int32)})
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "_md5", "doc_id"], kind="mergesort")
+        g = g.assign(rank=g.groupby("lang").cumcount().astype(np.int32) + 1)
+        return g[g["rank"] <= n][["lang", "doc_id", "rank"]]
+
+    return (ds.map_batches(add_key, batch_format="pandas")
+            .groupby("_p").map_groups(topn, batch_format="pandas")
+            .sort(["lang", "rank"]))
+
+
+def events_value_histogram(sf_dir: str, width: float = 10.0):
+    """Numeric binning (width_bucket histogram): floor(value/width) →
+    count + exact min/max per bucket. Bucketing is a stateless vectorized
+    map; the aggregate is one grouped exchange over ~#buckets keys."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["value"],
+                                       pa.scalar(width))), pa.int64())
+        return batch.append_column("bucket", b)
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Count(alias_name="n"),
+                       Min("value", alias_name="min_v"),
+                       Max("value", alias_name="max_v")))
+
+
+def documents_first_word_counts(sf_dir: str):
+    """Regex extraction kernel (scalar-function breadth, SURVEY §2.8):
+    first lowercase word of each doc via pyarrow.compute.extract_regex —
+    the RE2-compatible vectorized path — grouped counts. Oracle states
+    the identical RE2 pattern in DuckDB regexp_extract."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def first_word(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["text"], r"^(?P<w>[a-z]+)")
+        w = pc.fill_null(pc.struct_field(ex, "w"), "")
+        return pa.table({"w": w})
+
+    return (ds.map_batches(first_word, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("w").aggregate(Count(alias_name="n")))

@@ -1,0 +1,65 @@
+"""Full-outer join, stratified sampling, histogram, regex-extract ops
+(relational.py tail) — semantics pinned against DuckDB on sf0.001,
+independent of the driver harness."""
+
+import duckdb
+import pandas as pd
+
+from miekki_ray import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("events", "customer", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_full_outer_covers_both_unmatched_sides():
+    got = R.events_user_order_full_outer(SF).to_pandas()
+    con = _duck()
+    want = con.execute("""
+        WITH e AS (SELECT user_id, COUNT(*) n_events,
+                   ROUND(SUM(value),2) sum_value FROM events GROUP BY 1)
+        SELECT COALESCE(e.user_id, c.c_custkey) custkey,
+               CAST(e.n_events AS DOUBLE) n_events, e.sum_value,
+               c.c_mktsegment segment
+        FROM e FULL OUTER JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY custkey""").df()
+    assert len(got) == len(want)
+    # customers with no events exist (null event side exercised)
+    assert got["n_events"].isna().any()
+    g = got.sort_values("custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, want, check_dtype=False)
+
+
+def test_stratified_sample_deterministic_and_stratified():
+    a = R.documents_stratified_sample(SF).to_pandas()
+    b = R.documents_stratified_sample(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["lang", "rank"]).reset_index(drop=True),
+        b.sort_values(["lang", "rank"]).reset_index(drop=True))
+    per = a.groupby("lang").size()
+    assert (per <= 5).all() and len(per) >= 2
+
+
+def test_histogram_counts_total():
+    got = R.events_value_histogram(SF).to_pandas()
+    con = _duck()
+    n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == n
+    # bucket invariant: min/max inside [bucket*10, (bucket+1)*10)
+    assert ((got["min_v"] >= got["bucket"] * 10.0)
+            & (got["max_v"] < (got["bucket"] + 1) * 10.0)).all()
+
+
+def test_first_word_counts_match_duckdb():
+    got = R.documents_first_word_counts(SF).to_pandas() \
+        .sort_values("w").reset_index(drop=True)
+    want = _duck().execute(
+        "SELECT regexp_extract(text, '^([a-z]+)') w, COUNT(*) n "
+        "FROM documents GROUP BY w ORDER BY w").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
