@@ -544,6 +544,22 @@ def _documents_hash_sample(sf_dir: str):
     return R.documents_hash_sample(sf_dir)
 
 
+def _documents_top_tokens_approx(sf_dir: str):
+    """Misra–Gries approximate top-k tokens (functions/heavyhitters.py):
+    the constant-traffic mergeable-summary scale path beside the exact
+    documents_top_tokens. MG is EXACT whenever the distinct-token count
+    stays ≤ capacity (no counter ever decrements), which holds for the
+    testdata vocabulary at capacity=4096 — so the DuckDB oracle compares
+    the full (token, count_min, err_max) rows; the approximation bound
+    itself is gated in tests/test_heavyhitters.py on a corpus whose
+    vocabulary exceeds capacity."""
+    from miekki_ray import relational as R
+    from miekki_ray.functions.heavyhitters import approx_top_tokens
+
+    ds = R._read(sf_dir, "documents", ["text"])
+    return approx_top_tokens(ds, k=20, capacity=4096)
+
+
 def _events_tumbling(sf_dir: str):
     import ray.data
 
@@ -743,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
         "documents_top_tokens": _documents_top_tokens,
+        "documents_top_tokens_approx": _documents_top_tokens_approx,
         "documents_hash_sample": _documents_hash_sample,
         # windows / stats (SQL-oracled)
         "events_tumbling": _events_tumbling,
@@ -1302,6 +1319,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM w GROUP BY token
             ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "documents_top_tokens_approx": r"""
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '[\s\x1c-\x1f]+'),
+                    x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS count_min,
+                   (SELECT COUNT(*) // 4097 FROM w) AS err_max
+            FROM w GROUP BY token
+            ORDER BY count_min DESC, token ASC LIMIT 20
         """,
         "events_lag_lead": """
             SELECT event_id, user_id, ts, value,
