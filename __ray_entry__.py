@@ -430,6 +430,36 @@ def _events_lag_lead(sf_dir: str):
     return lag_lead(ev).sort("event_id")
 
 
+def _events_running_sum(sf_dir: str):
+    """Per-user cumulative SUM window frame vs the SQL window oracle."""
+    from miekki_ray import relational as R
+    from miekki_ray.stages.windows import running_sum
+
+    ev = R._read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return running_sum(ev).sort("event_id")
+
+
+def _events_ntile(sf_dir: str):
+    """NTILE(4) per event_type, summarized per tile, vs the SQL window
+    oracle (exact, no FP rounding — tile boundaries are integer)."""
+    from miekki_ray import relational as R
+    from miekki_ray.stages.windows import ntile_tiles
+
+    ev = R._read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ntile_tiles(ev, k=4).sort(["event_type", "tile"])
+
+
+def _part_levenshtein_pairs(sf_dir: str):
+    """Blocked edit-distance near-dup pairs vs DuckDB's levenshtein()."""
+    from miekki_ray import relational as R
+    from miekki_ray.stages.editdist import levenshtein_near_pairs
+
+    parts = R._read(sf_dir, "part", ["p_partkey", "p_name", "p_brand"])
+    return levenshtein_near_pairs(
+        parts, key_col="p_partkey", name_col="p_name",
+        block_col="p_brand", max_dist=2).sort(["a", "b"])
+
+
 def _events_value_quantiles_approx(sf_dir: str):
     """t-digest per-key approximate quantiles — the mergeable-sketch
     scale path for events_value_quantiles (whose exact rendering needs a
@@ -755,6 +785,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_agg": _documents_jsonl_agg,
         "events_value_quantiles_approx": _events_value_quantiles_approx,
         "events_lag_lead": _events_lag_lead,
+        "events_running_sum": _events_running_sum,
+        "events_ntile": _events_ntile,
+        "events_corr_by_type": R.events_corr_by_type,
+        "orders_priority_argmax": R.orders_priority_argmax,
+        "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
+        "orders_dow_counts": R.orders_dow_counts,
+        "part_name_prefix_counts": R.part_name_prefix_counts,
+        "embedding_norms_topk": R.embedding_norms_topk,
+        "part_levenshtein_pairs": _part_levenshtein_pairs,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1342,6 +1381,91 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id, ts, value,
+                   ROUND(SUM(value) OVER w, 6) AS run_sum,
+                   COUNT(*) OVER w AS run_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_ntile": """
+            WITH t AS (
+              SELECT event_type, value,
+                     ntile(4) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS tile
+              FROM events)
+            SELECT event_type, CAST(tile AS BIGINT) AS tile,
+                   COUNT(*) AS n, MIN(value) AS min_v, MAX(value) AS max_v
+            FROM t GROUP BY event_type, tile ORDER BY event_type, tile
+        """,
+        "events_corr_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(corr(value, CAST(length(props) AS DOUBLE)), 6)
+                       AS corr_v_len,
+                   ROUND(covar_samp(value, CAST(length(props) AS DOUBLE)),
+                         6) AS covar_v_len,
+                   ROUND(stddev_samp(value), 6) AS stddev_v
+            FROM events GROUP BY event_type
+        """,
+        "orders_priority_argmax": """
+            WITH m AS (
+              SELECT o_orderpriority, MAX(o_totalprice) AS max_price
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderpriority, m.max_price,
+                   MIN(o.o_orderkey) AS best_orderkey
+            FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+                                AND o.o_totalprice = m.max_price
+            GROUP BY o.o_orderpriority, m.max_price
+            ORDER BY o.o_orderpriority
+        """,
+        "nations_customers_vs_suppliers": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+            SELECT coalesce(c.k, s.k) AS nationkey,
+                   CASE WHEN c.k IS NOT NULL AND s.k IS NOT NULL
+                        THEN 'both'
+                        WHEN c.k IS NOT NULL THEN 'customers_only'
+                        ELSE 'suppliers_only' END AS tag
+            FROM c FULL OUTER JOIN s ON c.k = s.k
+            ORDER BY nationkey
+        """,
+        "orders_dow_counts": """
+            SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+                   COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY isodow, quarter
+        """,
+        "part_name_prefix_counts": """
+            -- p_name is ASCII, so substr (chars) == slice_codeunits
+            SELECT substr(replace(upper(p_name), ' ', '_'), 1, 8)
+                       AS prefix,
+                   COUNT(*) AS n
+            FROM part GROUP BY prefix
+        """,
+        "embedding_norms_topk": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_dot_product(
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)))), 6)
+                       AS l2_norm
+            FROM embeddings
+            ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "part_levenshtein_pairs": """
+            SELECT a.p_partkey AS a, b.p_partkey AS b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE a.p_name <> b.p_name
+              AND levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY a, b
         """,
         "documents_jsonl_agg": """
             SELECT lang, COUNT(*) AS n,

@@ -701,3 +701,183 @@ def documents_first_word_counts(sf_dir: str):
     return (ds.map_batches(first_word, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("w").aggregate(Count(alias_name="n")))
+
+
+def events_corr_by_type(sf_dir: str):
+    """Bivariate statistics per group — corr / covar_samp / stddev_samp of
+    (value, length(props)) by event_type — via MERGEABLE MOMENT SUMS: each
+    batch emits one partial row (n, Σx, Σy, Σx², Σy², Σxy) per key, the
+    grouped exchange then carries #keys×#batches tiny rows, never the
+    events themselves. This is the sufficient-statistics scale pattern
+    every distributed stats engine uses (same shape as the t-digest and
+    HLL stages, but exact).
+
+    Numerics: y = length(props) keeps magnitudes ~1e2 so the
+    pairwise-summed moments agree with DuckDB's streaming kernels well
+    inside the 6-dp rounding both sides apply."""
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        x = batch["value"].to_numpy(zero_copy_only=False)
+        y = pc.utf8_length(batch["props"]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        t = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                          "x": x, "y": y, "xx": x * x, "yy": y * y,
+                          "xy": x * y})
+        out = t.groupby("event_type", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out.reset_index()
+
+    partials = (ds.map_batches(moments, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("event_type")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("sx", alias_name="sx"),
+                           Sum("sy", alias_name="sy"),
+                           Sum("sxx", alias_name="sxx"),
+                           Sum("syy", alias_name="syy"),
+                           Sum("sxy", alias_name="sxy")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(dtype=np.float64)
+        sx, sy = batch["sx"].to_numpy(), batch["sy"].to_numpy()
+        sxx, syy = batch["sxx"].to_numpy(), batch["syy"].to_numpy()
+        sxy = batch["sxy"].to_numpy()
+        cx = sxx - sx * sx / n            # n·var, n·covar (centered)
+        cy = syy - sy * sy / n
+        cxy = sxy - sx * sy / n
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "n": batch["n"].astype("int64"),
+            "corr_v_len": np.round(cxy / np.sqrt(cx * cy), 6),
+            "covar_v_len": np.round(cxy / (n - 1), 6),
+            "stddev_v": np.round(np.sqrt(cx / (n - 1)), 6),
+        })
+
+    return partials.map_batches(finish, batch_format="pandas")
+
+
+def orders_priority_argmax(sf_dir: str):
+    """ARG_MAX with a stated tie-break: per order priority, the maximum
+    total price and the smallest orderkey among orders achieving it.
+    Two-level reduce — each batch emits its local (max price, argmin key
+    at that price) per key, the final combine runs over #keys×#batches
+    rows. No row ever carries more than the 3 output columns through the
+    exchange."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("o_orderpriority")
+
+    # combine partials per key in one tiny map_groups
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .map_groups(lambda g: partial(g).rename(columns={
+                "o_totalprice": "max_price", "o_orderkey": "best_orderkey"}),
+                batch_format="pandas")
+            .sort("o_orderpriority"))
+
+
+def nations_customers_vs_suppliers(sf_dir: str):
+    """Set-operation coverage (INTERSECT / EXCEPT next to D3's UNION):
+    which nations have customers vs suppliers. Each side collapses to its
+    distinct key set FIRST (grouped count — a keys-sized exchange), the
+    FULL OUTER join of the two key sets then classifies every nation as
+    both/customers_only/suppliers_only. One row per nation key ever
+    crosses the wire."""
+    cust = (_read(sf_dir, "customer", ["c_nationkey"])
+            .groupby("c_nationkey").aggregate(Count(alias_name="n_c")))
+    supp = (_read(sf_dir, "supplier", ["s_nationkey"])
+            .groupby("s_nationkey").aggregate(Count(alias_name="n_s")))
+    j = cust.join(supp, join_type="full_outer", num_partitions=2,
+                  on=("c_nationkey",), right_on=("s_nationkey",))
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        has_c = batch["n_c"].notna().to_numpy()
+        has_s = batch["n_s"].notna().to_numpy()
+        tag = np.where(has_c & has_s, "both",
+                       np.where(has_c, "customers_only", "suppliers_only"))
+        return pd.DataFrame({"nationkey": batch["c_nationkey"]
+                             .astype("int64"),
+                             "tag": tag})
+
+    return (j.map_batches(classify, batch_format="pandas")
+            .sort("nationkey"))
+
+
+def orders_dow_counts(sf_dir: str):
+    """Temporal scalar-function coverage: ISO day-of-week + quarter of
+    o_orderdate via pyarrow.compute's vectorized temporal kernels
+    (pc.day_of_week is Monday=0, so isodow = dow+1), grouped counts with
+    a summed-price measure."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(batch["o_orderdate"]), pa.scalar(1))
+        q = pc.quarter(batch["o_orderdate"])
+        return pa.table({"isodow": pc.cast(dow, pa.int64()),
+                         "quarter": pc.cast(q, pa.int64()),
+                         "o_totalprice": batch["o_totalprice"]})
+
+    out = (ds.map_batches(keys, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["isodow", "quarter"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("o_totalprice", alias_name="sum_price")))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_price")
+        return batch.set_column(i, "sum_price",
+                                pc.round(batch["sum_price"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def part_name_prefix_counts(sf_dir: str):
+    """String scalar-function coverage: UPPER + substring + replace in
+    one vectorized pyarrow chain — the normalized first-8-chars prefix of
+    p_name (spaces collapsed to '_'), grouped counts over the prefix."""
+    ds = _read(sf_dir, "part", ["p_name"])
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        p = pc.utf8_slice_codeunits(
+            pc.replace_substring(pc.utf8_upper(batch["p_name"]), " ", "_"),
+            0, 8)
+        return pa.table({"prefix": p})
+
+    return (ds.map_batches(prefix, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("prefix").aggregate(Count(alias_name="n")))
+
+
+def embedding_norms_topk(sf_dir: str, k: int = 10):
+    """List-column numeric kernel: L2 norm of each embedding vector
+    (float64 accumulation over the Arrow list buffer — one reduceat over
+    the flat values, no per-row Python), global top-k by (norm DESC,
+    vec_id ASC). Per-batch partial top-k means the final sort sees
+    k×#batches rows, not the corpus."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pd.DataFrame:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        sq = np.add.reduceat(flat * flat, offs[:-1]) \
+            if len(flat) else np.zeros(0)
+        out = pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
+            "l2_norm": np.round(np.sqrt(sq), 6)})
+        return out.sort_values(["l2_norm", "vec_id"],
+                               ascending=[False, True]).head(k)
+
+    return (ds.map_batches(norms, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["l2_norm", "vec_id"], descending=[True, False])
+            .limit(k))

@@ -190,3 +190,89 @@ def lag_lead(events: ray.data.Dataset,
             .map_batches(add_part, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("_part").map_groups(shifts, batch_format="pandas"))
+
+
+def running_sum(events: ray.data.Dataset,
+                num_partitions: int = 16) -> ray.data.Dataset:
+    """Per-user cumulative (running) sum of value ordered by
+    (ts, event_id) — SQL's SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING). Completes the
+    window-frame family next to rolling_window (bounded frame) and
+    lag_lead (offset frame).
+
+    Same one-shuffle partition-by-key idiom: pandas groupby.cumsum is a
+    single vectorized sequential pass per partition, which matches the
+    oracle's sequential frame evaluation; both sides round to 6 dp to
+    absorb DuckDB's segment-tree summation order."""
+    from miekki_ray.functions.textstats import _round6_half_away
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def cum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        by = g.groupby("user_id")
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "value": g["value"],
+            "run_sum": _round6_half_away(
+                by["value"].cumsum().to_numpy(dtype=np.float64)),
+            "run_n": by.cumcount().to_numpy(dtype=np.int64) + 1,
+        })
+
+    return (events.select_columns(["event_id", "user_id", "ts", "value"])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part").map_groups(cum, batch_format="pandas"))
+
+
+def ntile_tiles(events: ray.data.Dataset, k: int = 4,
+                num_partitions: int = 8) -> ray.data.Dataset:
+    """NTILE(k) OVER (PARTITION BY event_type ORDER BY value, event_id),
+    summarized per (event_type, tile) as n/min_v/max_v so the output is
+    tile-count-sized, not row-sized.
+
+    NTILE needs every row of a group ranked against the whole group, so
+    groups are co-located by hashing event_type (same requirement as the
+    SQL window). Tile assignment replicates SQL semantics exactly: with n
+    rows and k tiles the first n % k tiles get floor(n/k)+1 rows. Skewed
+    key caveat: one giant group lands on one partition — for that regime
+    compute a two-pass rank (grouped count, then per-batch offset) before
+    binning; at tile-summary granularity the oracle comparison is exact
+    with no FP rounding at all."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch["event_type"].to_pandas(), index=False
+        ).to_numpy(np.uint64)
+        part = (h % np.uint64(num_partitions)).astype("int32")
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def tiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["event_type", "value", "event_id"],
+                              kind="mergesort")
+        sizes = g.groupby("event_type", sort=False)["value"].transform("size")
+        idx = g.groupby("event_type", sort=False).cumcount().to_numpy()
+        n = sizes.to_numpy(dtype=np.int64)
+        base, rem = n // k, n % k
+        # first `rem` tiles have base+1 rows
+        cut = rem * (base + 1)
+        tile = np.where(idx < cut,
+                        idx // np.maximum(base + 1, 1),
+                        rem + (idx - cut) // np.maximum(base, 1)) + 1
+        g = g.assign(tile=tile.astype(np.int64))
+        out = g.groupby(["event_type", "tile"], sort=False).agg(
+            n=("value", "size"),
+            min_v=("value", "min"),
+            max_v=("value", "max"),
+        ).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (events.select_columns(["event_id", "event_type", "value"])
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("_part").map_groups(tiles, batch_format="pandas"))

@@ -131,3 +131,42 @@ def test_hash_sample_deterministic():
     again = [i for i in range(1000)
              if hashlib.md5(str(i).encode()).hexdigest()[0] == "0"]
     assert ids == again
+
+
+def test_running_sum_matches_pandas_cumsum():
+    from miekki_ray.stages.windows import running_sum
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.random(n) * 100,
+    })
+    out = running_sum(ray.data.from_pandas(df), num_partitions=3) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    ref = df.sort_values(["user_id", "ts", "event_id"])
+    ref = ref.assign(
+        run_sum=ref.groupby("user_id")["value"].cumsum(),
+        run_n=ref.groupby("user_id").cumcount() + 1,
+    ).sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(out["run_sum"], ref["run_sum"], atol=1e-6)
+    assert list(out["run_n"]) == list(ref["run_n"])
+
+
+def test_ntile_tile_sizes_match_sql_semantics():
+    from miekki_ray.stages.windows import ntile_tiles
+
+    # 10 rows, k=4 -> tile sizes 3,3,2,2 (first n%k tiles get one extra)
+    df = pd.DataFrame({
+        "event_id": np.arange(10, dtype=np.int64),
+        "event_type": ["a"] * 10,
+        "value": np.arange(10, dtype=np.float64),
+    })
+    out = ntile_tiles(ray.data.from_pandas(df), k=4, num_partitions=2) \
+        .to_pandas().sort_values("tile").reset_index(drop=True)
+    assert list(out["tile"]) == [1, 2, 3, 4]
+    assert list(out["n"]) == [3, 3, 2, 2]
+    assert list(out["min_v"]) == [0.0, 3.0, 6.0, 8.0]
+    assert list(out["max_v"]) == [2.0, 5.0, 7.0, 9.0]
