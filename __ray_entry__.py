@@ -20,6 +20,15 @@ SEP_TURN = "\x1e"
 SEP_ROLE = "\x1f"
 
 
+def _read_tbl(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Clean-schema parquet read (relational._read): strips the pandas
+    footer metadata at the READ so every downstream shuffle can hash and
+    dedup block schemas."""
+    from miekki_ray.relational import _read
+
+    return _read(sf_dir, table, columns)
+
+
 def _cfg(**overrides):
     """Engine config sized to the live Ray cluster: shuffle width and actor
     pools scale with CPUs — a hash-join/aggregate pool wider than the CPU
@@ -139,7 +148,7 @@ def _embedding_near_dups(sf_dir: str):
 
     from miekki_ray.stages.similarity import embedding_near_dups
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_tbl(sf_dir, "embeddings")
     out = embedding_near_dups(emb, threshold=0.98).to_pandas()
     if out.empty:     # empty Datasets lose their schema through groupbys
         out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
@@ -155,7 +164,7 @@ def _ann_bruteforce(sf_dir: str):
 
     from miekki_ray.stages.similarity import brute_force_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_tbl(sf_dir, "embeddings")
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in head["embedding"].to_pylist()])
@@ -169,7 +178,7 @@ def _ann_lsh(sf_dir: str):
 
     from miekki_ray.stages.similarity import lsh_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_tbl(sf_dir, "embeddings")
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in head["embedding"].to_pylist()])
@@ -199,7 +208,7 @@ def _ann_ivf(sf_dir: str):
 
     from miekki_ray.stages.similarity import ivf_topk
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_tbl(sf_dir, "embeddings")
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     q = np.stack([np.asarray(v, dtype=np.float32)
                   for v in head["embedding"].to_pylist()])
@@ -211,7 +220,7 @@ def _embedding_pairs_exact(sf_dir: str):
 
     from miekki_ray.stages.similarity import embedding_pairs_exact
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read_tbl(sf_dir, "embeddings")
     return embedding_pairs_exact(emb, threshold=0.4).sort(["a", "b"])
 
 
@@ -273,8 +282,7 @@ def _doc_token_counts(sf_dir: str):
 
     from miekki_ray.functions.textstats import whitespace_token_count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -291,8 +299,7 @@ def _doc_quality(sf_dir: str):
 
     from miekki_ray.functions.textstats import quality_scores
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         q = quality_scores(batch["text"])
@@ -308,8 +315,7 @@ def _doc_langid(sf_dir: str):
 
     from miekki_ray.functions.textstats import lang_id
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": batch["doc_id"],
@@ -327,8 +333,7 @@ def _doc_winnow_fp(sf_dir: str):
 
     from miekki_ray.functions.textstats import winnow_fingerprints
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -353,8 +358,7 @@ def _doc_fingerprints(sf_dir: str):
 
     from miekki_ray.functions.textstats import doc_fingerprint
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -595,8 +599,7 @@ def _events_tumbling(sf_dir: str):
 
     from miekki_ray.stages.windows import tumbling_window_counts
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts", "value"])
+    ev = _read_tbl(sf_dir, "events", ["event_type", "ts", "value"])
     out = tumbling_window_counts(ev, window_s=86400)
 
     import pyarrow as pa
@@ -617,8 +620,7 @@ def _events_hopping(sf_dir: str):
 
     from miekki_ray.stages.windows import hopping_window_counts
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts", "value"])
+    ev = _read_tbl(sf_dir, "events", ["event_type", "ts", "value"])
     out = hopping_window_counts(ev, size_s=2 * 86400, hop_s=86400)
 
     def rnd(batch: pa.Table) -> pa.Table:
@@ -634,8 +636,7 @@ def _events_sessions(sf_dir: str):
 
     from miekki_ray.stages.windows import session_windows
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "ts", "value"])
+    ev = _read_tbl(sf_dir, "events", ["user_id", "ts", "value"])
     out = session_windows(ev, gap_s=86400)
 
     import pandas as pd
@@ -794,6 +795,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_prefix_counts": R.part_name_prefix_counts,
         "embedding_norms_topk": R.embedding_norms_topk,
         "part_levenshtein_pairs": _part_levenshtein_pairs,
+        "events_mode_type_per_user": R.events_mode_type_per_user,
+        "orders_cube_agg": R.orders_cube_agg,
+        "embedding_label_centroids": R.embedding_label_centroids,
+        "events_json_extract_stats": R.events_json_extract_stats,
+        "documents_sentence_stats": R.documents_sentence_stats,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1457,6 +1463,57 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
             ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "events_json_extract_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM e GROUP BY event_type
+        """,
+        "documents_sentence_stats": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '[.!?]+'))
+                        AS BIGINT) AS n_sent,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   ROUND(CAST(length(text) AS DOUBLE) /
+                         greatest(length(regexp_extract_all(text,
+                                                            '[.!?]+')), 1),
+                         2) AS chars_per_sent
+            FROM documents ORDER BY doc_id
+        """,
+        "events_mode_type_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS n
+              FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type AS mode_type, n FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY n DESC, event_type ASC) = 1
+            ORDER BY user_id
+        """,
+        "orders_cube_agg": """
+            SELECT coalesce(o_orderpriority, '*') AS priority,
+                   coalesce(o_orderstatus, '*') AS status,
+                   COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY priority, status
+        """,
+        "embedding_label_centroids": """
+            WITH u AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings)
+            SELECT label, dim, COUNT(*) AS n,
+                   ROUND(SUM(x) / COUNT(*), 6) AS centroid
+            FROM u GROUP BY label, dim ORDER BY label, dim
         """,
         "part_levenshtein_pairs": """
             SELECT a.p_partkey AS a, b.p_partkey AS b,

@@ -13,10 +13,15 @@ import pyarrow as pa
 import ray.data
 
 
+def _read_tbl(sf_dir: str, table: str, columns: list[str] | None = None):
+    from miekki_ray.relational import _read
+
+    return _read(sf_dir, table, columns)
+
+
 def documents_as_turns(sf_dir: str) -> ray.data.Dataset:
     """Single-turn conversations: conv_id = str(doc_id)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -38,8 +43,7 @@ def documents_as_turns(sf_dir: str) -> ray.data.Dataset:
 
 def documents_as_multiturn(sf_dir: str) -> ray.data.Dataset:
     """100-conversation grouping for the reconstruction oracle check."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text"])
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -22,12 +22,15 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
           ) -> ray.data.Dataset:
-    from miekki_ray.sources.transcripts import strip_schema_metadata
+    from miekki_ray.sources.transcripts import clean_read_schema
 
     # testdata parquet carries pandas schema metadata, which makes the
-    # Arrow schema unhashable and defeats Ray's shuffle schema-dedup [env]
-    return strip_schema_metadata(ray.data.read_parquet(
-        f"{sf_dir}/{table}.parquet", columns=columns))
+    # Arrow schema unhashable and defeats Ray's shuffle schema-dedup;
+    # passing a stripped projected schema to the READ keeps even the
+    # read-stage blocks metadata-free [env]
+    path = f"{sf_dir}/{table}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_read_schema(path, columns))
 
 
 # ---------------------------------------------------------------- aggregates
@@ -881,3 +884,171 @@ def embedding_norms_topk(sf_dir: str, k: int = 10):
                            zero_copy_batch=True)
             .sort(["l2_norm", "vec_id"], descending=[True, False])
             .limit(k))
+
+
+def events_mode_type_per_user(sf_dir: str):
+    """MODE (most frequent value) per key with a stated tie-break —
+    argmax-of-counts: per user, the event_type they emit most (count
+    DESC, type ASC on ties). Two grouped exchanges, both over key-sized
+    rows: (user, type) counts first, then the per-user argmax via the
+    same partial-then-combine reduce as orders_priority_argmax."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = (ds.groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="n")))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(["user_id", "n", "event_type"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return g.drop_duplicates("user_id")
+
+    return (counts.map_batches(partial, batch_format="pandas")
+            .groupby("user_id")
+            .map_groups(lambda g: partial(g).rename(
+                columns={"event_type": "mode_type"}),
+                batch_format="pandas")
+            .sort("user_id"))
+
+
+def orders_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(priority, status) in ONE pass: each batch partially
+    aggregates all four grouping sets locally (rolled-up level marked
+    '*'), so the exchange carries grouping-set-sized partials — the raw
+    rows are never replicated 4x through the shuffle (the naive
+    union-of-groupbys plan). Completes the grouping-set family next to
+    lineitem_rollup."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for keys in ((["o_orderpriority", "o_orderstatus"]),
+                     (["o_orderpriority"]), (["o_orderstatus"]), ([])):
+            if keys:
+                g = (batch.groupby(keys, as_index=False)
+                     .agg(n=("o_totalprice", "size"),
+                          s=("o_totalprice", "sum")))
+            else:
+                g = pd.DataFrame({"n": [len(batch)],
+                                  "s": [batch["o_totalprice"].sum()]})
+            for col in ("o_orderpriority", "o_orderstatus"):
+                if col not in g.columns:
+                    g[col] = "*"
+            outs.append(g[["o_orderpriority", "o_orderstatus", "n", "s"]])
+        out = pd.concat(outs, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("s", alias_name="s")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "priority": batch["o_orderpriority"],
+            "status": batch["o_orderstatus"],
+            "n": batch["n"].astype("int64"),
+            "sum_price": np.round(batch["s"].to_numpy(np.float64), 2)})
+
+    return (merged.map_batches(finish, batch_format="pandas")
+            .sort(["priority", "status"]))
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid of the embedding column, exploded to
+    (label, dim, n, centroid) rows so the oracle can state it with
+    unnest + generate_subscripts. Each batch emits per-label VECTOR SUMS
+    (one reduceat over the stacked float64 matrix — labels×dims partial
+    rows, never the vectors), the grouped exchange then merges partials;
+    this is the same mergeable-sufficient-statistics shape the k-means
+    stage iterates on, but exact and single-pass."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        mat = flat.reshape(-1, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        labels = labels[order]
+        mat = mat[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labels[1:] != labels[:-1])))
+        sums = np.add.reduceat(mat, starts, axis=0)
+        ns = np.diff(np.append(starts, len(labels)))
+        uniq = labels[starts]
+        return pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(ns.astype(np.int64), dim)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["label", "dim"])
+              .aggregate(Sum("s", alias_name="s"),
+                         Sum("n", alias_name="n")))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": batch["label"].astype("int64"),
+            "dim": batch["dim"].astype("int64"),
+            "n": batch["n"].astype("int64"),
+            "centroid": np.round(batch["s"].to_numpy(np.float64)
+                                 / batch["n"].to_numpy(np.float64), 6)})
+
+    return (merged.map_batches(finish, batch_format="pandas")
+            .sort(["label", "dim"]))
+
+
+def events_json_extract_stats(sf_dir: str):
+    """Semi-structured scalar-function coverage: pull the integer 'k'
+    field out of the JSON props payload with ONE vectorized RE2 pass
+    (pc.extract_regex — no per-row json.loads; the schema of the payload
+    is known, which is exactly when regex-JSON is sound), then grouped
+    stats per event_type. The oracle goes through DuckDB's real JSON
+    parser, so the test also proves the regex shortcut agrees with a
+    strict parse on this corpus."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    out = (ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("k", alias_name="sum_k"),
+                      Min("k", alias_name="min_k"),
+                      Max("k", alias_name="max_k")))
+    return out
+
+
+def documents_sentence_stats(sf_dir: str):
+    """Sentence-boundary counting per document: non-overlapping runs of
+    [.!?] via pc.count_substring_regex (RE2) — the text-analysis
+    stat a quality-filter pipeline cuts on — joined with chars-per-
+    sentence. Stateless vectorized map; no shuffle at all."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_sent = pc.cast(
+            pc.count_substring_regex(batch["text"], r"[.!?]+"),
+            pa.int64())
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        cps = pc.round(pc.divide(
+            pc.cast(n_chars, pa.float64()),
+            pc.cast(pc.max_element_wise(n_sent, 1), pa.float64())), 2)
+        return pa.table({"doc_id": batch["doc_id"], "n_sent": n_sent,
+                         "n_chars": n_chars, "chars_per_sent": cps})
+
+    return (ds.map_batches(stats, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("doc_id"))

@@ -40,6 +40,33 @@ def strip_schema_metadata(ds: ray.data.Dataset) -> ray.data.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def clean_read_schema(path: str | list[str],
+                      columns: list[str] | None = None):
+    """Metadata-free Arrow schema for a parquet path, projected to
+    ``columns`` — passed to read_parquet so even the READ stage's blocks
+    carry a hashable schema (otherwise the pandas metadata embedded in
+    the footer defeats Ray's shuffle schema-dedup from the first op on).
+    Returns None (let Ray infer) if no footer is reachable."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path[0] if isinstance(path, list) else path
+    if os.path.isdir(p):
+        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not files:
+            return None
+        p = os.path.join(p, files[0])
+    try:
+        full = pq.read_schema(p).with_metadata(None)
+    except Exception:
+        return None
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])
+
+
 def read_transcripts(path: str | list[str],
                      override_num_blocks: int | None = None
                      ) -> ray.data.Dataset:
@@ -47,7 +74,8 @@ def read_transcripts(path: str | list[str],
     columns. Schema is asserted lazily by assert_turns_schema (stage
     boundaries carry explicit schemas — SURVEY.md §1.3)."""
     return strip_schema_metadata(ray.data.read_parquet(
-        path, columns=TURN_COLUMNS, override_num_blocks=override_num_blocks
+        path, columns=TURN_COLUMNS, override_num_blocks=override_num_blocks,
+        schema=clean_read_schema(path, TURN_COLUMNS),
     ))
 
 
