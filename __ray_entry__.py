@@ -453,6 +453,17 @@ def _events_ntile(sf_dir: str):
     return ntile_tiles(ev, k=4).sort(["event_type", "tile"])
 
 
+def _documents_curated(sf_dir: str):
+    """Composite curation pipeline (quality filter -> exact keep-first)
+    vs a single SQL statement of the same contract."""
+    from miekki_ray.pipelines.curate import curate_documents
+
+    docs = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return (curate_documents(docs)
+            .select_columns(["doc_id", "n_chars", "n_words", "alpha_ratio"])
+            .sort("doc_id"))
+
+
 def _part_levenshtein_pairs(sf_dir: str):
     """Blocked edit-distance near-dup pairs vs DuckDB's levenshtein()."""
     from miekki_ray import relational as R
@@ -800,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": R.embedding_label_centroids,
         "events_json_extract_stats": R.events_json_extract_stats,
         "documents_sentence_stats": R.documents_sentence_stats,
+        "documents_curated": _documents_curated,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1463,6 +1475,27 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
             ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "documents_curated": """
+            WITH w AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '[a-zA-Z'']+'))
+                          AS BIGINT) AS n_words
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text, n_chars, n_words,
+                     round(n_alpha / greatest(n_chars, 1), 6)
+                         AS alpha_ratio
+              FROM w
+              WHERE n_words >= 40
+                AND round(n_alpha / greatest(n_chars, 1), 6) >= 0.8
+            )
+            SELECT doc_id, n_chars, n_words, alpha_ratio FROM q
+            QUALIFY row_number() OVER (PARTITION BY text
+                                       ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
         "events_json_extract_stats": """
             WITH e AS (
