@@ -464,6 +464,89 @@ def _documents_curated(sf_dir: str):
             .sort("doc_id"))
 
 
+def _containment_pairs(sf_dir: str):
+    """ST3 suffix-array containment made driver-visible: all (a, b) doc
+    pairs where one text is a full substring of the other, confirmed by
+    the suffix-array LCS kernel (functions/suffix.py — ratio must be
+    1.0), candidates proposed by a broadcast-corpus substring prefilter.
+    Brute-force scope documented like the E8 accuracy baselines: the
+    corpus table is ray.put ONCE and scanned per batch; the scale path
+    for this shape is the prefix-sketch containment bands inside the
+    flagship (stages/sketch.py)."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from miekki_ray.functions.suffix import containment_ratio
+
+    docs = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    corpus = docs.to_pandas().sort_values("doc_id")
+    ref = _ray.put((corpus["doc_id"].to_numpy(np.int64),
+                    corpus["text"].tolist()))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, texts = _ray.get(ref)
+        out_a, out_b = [], []
+        for bid, btxt in zip(batch["doc_id"].to_numpy(np.int64),
+                             batch["text"]):
+            for aid, atxt in zip(ids, texts):
+                if aid >= bid or atxt == btxt:
+                    continue
+                s, l = (atxt, btxt) if len(atxt) <= len(btxt) \
+                    else (btxt, atxt)
+                if s in l and containment_ratio(
+                        s.encode(), l.encode()) >= 1.0:
+                    out_a.append(aid)
+                    out_b.append(bid)
+        return pd.DataFrame({
+            "a": pd.Series(out_a, dtype=np.int64),
+            "b": pd.Series(out_b, dtype=np.int64),
+            "contained": pd.Series([True] * len(out_a), dtype=bool)})
+
+    return docs.map_batches(pairs, batch_format="pandas").sort(["a", "b"])
+
+
+def _documents_partitioned_sink(sf_dir: str):
+    """S-layer partitioned-parquet sink round-trip: documents →
+    write_parquet(partition_cols=['lang']) → read back the hive layout →
+    grouped agg, oracled against the ORIGINAL table. One directory per
+    partition value is the resumable-output contract (a failed 100-TB
+    run skips finished partitions); the hash compare proves the
+    partition column survives the hive round trip losslessly."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from miekki_ray import relational as R
+    from miekki_ray.sources.transcripts import strip_schema_metadata
+
+    src = R._read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="miekki_psink_")
+    try:
+        src.write_parquet(tmp, partition_cols=["lang"])
+        ds = strip_schema_metadata(ray.data.read_parquet(tmp))
+
+        def norm(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": pc.cast(batch["lang"], pa.string()),
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"]})
+
+        return (ds.map_batches(norm, batch_format="pyarrow")
+                .groupby("lang")
+                .aggregate(Count(alias_name="n"),
+                           Sum("n_chars", alias_name="sum_chars"),
+                           Min("doc_id", alias_name="min_doc"),
+                           Max("doc_id", alias_name="max_doc"))
+                .sort("lang").to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _part_levenshtein_pairs(sf_dir: str):
     """Blocked edit-distance near-dup pairs vs DuckDB's levenshtein()."""
     from miekki_ray import relational as R
@@ -812,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract_stats": R.events_json_extract_stats,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_curated": _documents_curated,
+        "containment_pairs": _containment_pairs,
+        "documents_partitioned_sink": _documents_partitioned_sink,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1475,6 +1560,19 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
             ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "documents_partitioned_sink": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "containment_pairs": """
+            SELECT a.doc_id AS a, b.doc_id AS b, TRUE AS contained
+            FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+            WHERE a.text <> b.text
+              AND (contains(a.text, b.text) OR contains(b.text, a.text))
+            ORDER BY a, b
         """,
         "documents_curated": """
             WITH w AS (
