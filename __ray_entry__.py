@@ -897,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_curated": _documents_curated,
         "containment_pairs": _containment_pairs,
         "documents_partitioned_sink": _documents_partitioned_sink,
+        "documents_mix_sample": R.documents_mix_sample,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1560,6 +1561,15 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
             ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "documents_mix_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4','5','6','7')
+                  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3') END
+            ORDER BY doc_id
         """,
         "documents_partitioned_sink": """
             SELECT lang, COUNT(*) AS n,

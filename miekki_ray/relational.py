@@ -1052,3 +1052,32 @@ def documents_sentence_stats(sf_dir: str):
 
     return (ds.map_batches(stats, batch_format="pyarrow",
                            zero_copy_batch=True).sort("doc_id"))
+
+
+def documents_mix_sample(sf_dir: str):
+    """Training-mix construction: per-SOURCE weighted deterministic
+    sampling — the op that turns N crawled sources into a mixture with
+    declared rates. Content-addressed like documents_hash_sample (md5
+    predicate, not seeded RNG) so any engine reproduces the same mix:
+    even-indexed sources keep docs whose md5(doc_id) first hex digit is
+    in 0-7 (rate 1/2), odd-indexed keep 0-3 (rate 1/4). The rate table
+    is the contract; the oracle states the identical predicate. Stateless
+    map — at 100 TB the mix step costs one streaming pass, no shuffle."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].astype("int64")
+        first = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids),
+            dtype="<U1", count=len(batch))
+        src_idx = (batch["source"].str.slice(3).astype(np.int64)
+                   .to_numpy())
+        rank = np.array([int(c, 16) for c in first], dtype=np.int64)
+        keep = np.where(src_idx % 2 == 0, rank < 8, rank < 4)
+        out = batch[keep]
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "source": out["source"]})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
