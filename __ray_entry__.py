@@ -898,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _containment_pairs,
         "documents_partitioned_sink": _documents_partitioned_sink,
         "documents_mix_sample": R.documents_mix_sample,
+        "documents_repetition": R.documents_repetition,
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
@@ -1561,6 +1562,20 @@ def oracle_sql() -> dict[str, str]:
                        AS l2_norm
             FROM embeddings
             ORDER BY l2_norm DESC, vec_id ASC LIMIT 10
+        """,
+        "documents_repetition": """
+            WITH s AS (
+              SELECT doc_id, substr(text, i, 12) AS sh
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(
+                               1, greatest(length(text) - 11, 1))) AS i
+                    FROM documents)
+            )
+            SELECT doc_id, COUNT(*) AS n_shingles,
+                   COUNT(DISTINCT sh) AS n_distinct,
+                   ROUND(1 - COUNT(DISTINCT sh)
+                             / CAST(COUNT(*) AS DOUBLE), 6) AS rep_ratio
+            FROM s GROUP BY doc_id ORDER BY doc_id
         """,
         "documents_mix_sample": """
             SELECT doc_id, source FROM documents

@@ -1081,3 +1081,37 @@ def documents_mix_sample(sf_dir: str):
                              "source": out["source"]})
 
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
+def documents_repetition(sf_dir: str, k: int = 12):
+    """Repetition-ratio quality signal: fraction of duplicate character
+    k-grams per document (1 - distinct/total) — the standard cut against
+    degenerate/looping text in corpus curation. Reuses the flagship's
+    O(n) rolling-hash shingler (functions/hashing.py): distinct-count of
+    64-bit shingle hashes equals distinct-count of the substrings
+    themselves (collision-free at per-doc scale), which is what lets the
+    DuckDB oracle state the same number via substr unnest. Stateless
+    map, no shuffle; per-doc numpy unique inside the batch loop (same
+    scope as the fingerprint kernel)."""
+    from miekki_ray.functions.hashing import shingle_hashes_ordered
+    from miekki_ray.functions.textstats import _round6_half_away
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        tot = np.zeros(n, dtype=np.int64)
+        dis = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(batch["text"].fillna("")):
+            h = shingle_hashes_ordered(s.encode("utf-8"), k)
+            tot[i] = h.size
+            dis[i] = np.unique(h).size
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_shingles": tot,
+            "n_distinct": dis,
+            "rep_ratio": _round6_half_away(
+                1.0 - dis / np.maximum(tot, 1)),
+        })
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
