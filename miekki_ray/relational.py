@@ -868,12 +868,10 @@ def embedding_norms_topk(sf_dir: str, k: int = 10):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def norms(batch: pa.Table) -> pd.DataFrame:
-        col = batch["embedding"].combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        sq = np.add.reduceat(flat * flat, offs[:-1]) \
-            if len(flat) else np.zeros(0)
+        from miekki_ray.stages.similarity import _mat
+
+        m = _mat(batch, "embedding", dtype=np.float64)
+        sq = (m * m).sum(axis=1) if len(m) else np.zeros(0)
         out = pd.DataFrame({
             "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
             "l2_norm": np.round(np.sqrt(sq), 6)})
@@ -966,12 +964,10 @@ def embedding_label_centroids(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        col = batch["embedding"].combine_chunks()
-        flat = col.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
-        mat = flat.reshape(-1, dim)
+        from miekki_ray.stages.similarity import _mat
+
+        mat = _mat(batch, "embedding", dtype=np.float64)
+        dim = mat.shape[1] if mat.ndim == 2 else 0
         labels = batch["label"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         order = np.argsort(labels, kind="stable")
