@@ -702,7 +702,7 @@ def _events_tumbling(sf_dir: str):
     def rnd(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("sum_value")
         return batch.set_column(i, "sum_value",
-                                pc.round(batch["sum_value"], 2))
+                                pc.round(batch["sum_value"], 2, round_mode="half_towards_infinity"))
 
     return out.map_batches(rnd, batch_format="pyarrow")
 
@@ -720,7 +720,7 @@ def _events_hopping(sf_dir: str):
     def rnd(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("sum_value")
         return batch.set_column(i, "sum_value",
-                                pc.round(batch["sum_value"], 2))
+                                pc.round(batch["sum_value"], 2, round_mode="half_towards_infinity"))
 
     return out.map_batches(rnd, batch_format="pyarrow")
 

@@ -14,9 +14,13 @@ import ray.data
 
 
 def _read_tbl(sf_dir: str, table: str, columns: list[str] | None = None):
-    from miekki_ray.relational import _read
+    from miekki_ray.relational import _read   # single clean-read impl
 
     return _read(sf_dir, table, columns)
+
+
+# (kept as a one-line deferred-import shim so this module stays importable
+# without triggering relational's pyarrow.compute import at module load)
 
 
 def documents_as_turns(sf_dir: str) -> ray.data.Dataset:

@@ -10,8 +10,8 @@ three stages are streaming map_batches / grouped exchanges:
 - the filter is applied per batch BEFORE any exchange, so low-quality
   documents never cross the wire (at 100 TB the filter typically drops
   30-60% of bytes — pruning before the shuffle is the whole point);
-- keep-first shuffles (hash(text-hash), doc_id)-width rows only: the text
-  itself stays in its block and the winner set is re-joined by id.
+- keep-first makes ONE grouped exchange on hash(text) and resolves
+  winners against the exact text inside each group (collision-safe).
 
 The thresholds are part of the operator contract (stated in the paired
 DuckDB oracle verbatim), and the filter compares the 6-dp ROUNDED ratio so
@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Min
 
 
 def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
@@ -49,21 +48,28 @@ def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
     return docs.map_batches(score, batch_format="pandas")
 
 
-def keep_first_exact(scored: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact dedup keep-first over the filtered set: min doc_id per
-    64-bit text hash, then a semi join back by doc_id. Only
-    (hash, doc_id) pairs cross the exchange — never text."""
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+def keep_first_exact(scored: ray.data.Dataset,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact dedup keep-first over the filtered set: one grouped exchange
+    on a 64-bit text hash co-locates every copy of a text (plus any hash
+    collisions), then a vectorized per-partition pass keeps the smallest
+    doc_id per EXACT text — the full text is compared inside the group,
+    so a hash collision can never delete a distinct document (at 10^12
+    docs the birthday bound makes 64-bit collisions certain; the hash is
+    a partitioner here, not an identity). Text crosses the exchange once
+    — the same cost contract as the flagship's doc shuffle."""
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["text"], index=False) \
-            .to_numpy(np.uint64).view(np.int64)   # int64 for ray keys
-        return batch.assign(_h=h)
+            .to_numpy(np.uint64)
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.assign(_p=part)
 
-    hashed = scored.map_batches(add_hash, batch_format="pandas")
-    winners = (hashed.select_columns(["_h", "doc_id"])
-               .groupby("_h").aggregate(Min("doc_id", alias_name="doc_id")))
-    return (hashed.join(winners, join_type="inner", num_partitions=8,
-                        on=("_h", "doc_id"))
-            .drop_columns(["_h"]))
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("doc_id", kind="mergesort")
+        return g.drop_duplicates("text").drop(columns=["_p"])
+
+    return (scored.map_batches(add_part, batch_format="pandas")
+            .groupby("_p").map_groups(keep_first, batch_format="pandas"))
 
 
 def curate_documents(docs: ray.data.Dataset, *, min_words: int = 40,

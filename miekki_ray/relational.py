@@ -22,15 +22,19 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
           ) -> ray.data.Dataset:
-    from miekki_ray.sources.transcripts import clean_read_schema
+    from miekki_ray.sources.transcripts import (clean_read_schema,
+                                                strip_schema_metadata)
 
     # testdata parquet carries pandas schema metadata, which makes the
     # Arrow schema unhashable and defeats Ray's shuffle schema-dedup;
     # passing a stripped projected schema to the READ keeps even the
     # read-stage blocks metadata-free [env]
     path = f"{sf_dir}/{table}.parquet"
-    return ray.data.read_parquet(
-        path, columns=columns, schema=clean_read_schema(path, columns))
+    sch = clean_read_schema(path, columns)
+    ds = ray.data.read_parquet(path, columns=columns, schema=sch)
+    # footer unreachable (remote URI, nested layout): fall back to
+    # stripping after the read so shuffles still hash block schemas
+    return ds if sch is not None else strip_schema_metadata(ds)
 
 
 # ---------------------------------------------------------------- aggregates
@@ -59,7 +63,7 @@ def lineitem_agg(sf_dir: str):
     def rnd(batch: pa.Table) -> pa.Table:
         for col in ("sum_revenue", "avg_disc"):
             i = batch.schema.get_field_index(col)
-            batch = batch.set_column(i, col, pc.round(batch[col], 2))
+            batch = batch.set_column(i, col, pc.round(batch[col], 2, round_mode="half_towards_infinity"))
         return batch
 
     return out.map_batches(rnd, batch_format="pyarrow")
@@ -837,7 +841,7 @@ def orders_dow_counts(sf_dir: str):
     def rnd(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("sum_price")
         return batch.set_column(i, "sum_price",
-                                pc.round(batch["sum_price"], 2))
+                                pc.round(batch["sum_price"], 2, round_mode="half_towards_infinity"))
 
     return out.map_batches(rnd, batch_format="pyarrow")
 
@@ -970,6 +974,12 @@ def embedding_label_centroids(sf_dir: str):
         dim = mat.shape[1] if mat.ndim == 2 else 0
         labels = batch["label"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if len(labels) == 0 or dim == 0:   # empty block after splits [env]
+            return pd.DataFrame({
+                "label": pd.Series([], dtype=np.int64),
+                "dim": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64)})
         order = np.argsort(labels, kind="stable")
         labels = labels[order]
         mat = mat[order]
@@ -1040,9 +1050,12 @@ def documents_sentence_stats(sf_dir: str):
             pc.count_substring_regex(batch["text"], r"[.!?]+"),
             pa.int64())
         n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        # half-AWAY rounding to match DuckDB ROUND: n_chars/n_sent is a
+        # small-denominator rational that can land exactly on .xx5
         cps = pc.round(pc.divide(
             pc.cast(n_chars, pa.float64()),
-            pc.cast(pc.max_element_wise(n_sent, 1), pa.float64())), 2)
+            pc.cast(pc.max_element_wise(n_sent, 1), pa.float64())), 2,
+            round_mode="half_towards_infinity")
         return pa.table({"doc_id": batch["doc_id"], "n_sent": n_sent,
                          "n_chars": n_chars, "chars_per_sent": cps})
 
@@ -1099,7 +1112,11 @@ def documents_repetition(sf_dir: str, k: int = 12):
         tot = np.zeros(n, dtype=np.int64)
         dis = np.zeros(n, dtype=np.int64)
         for i, s in enumerate(batch["text"].fillna("")):
-            h = shingle_hashes_ordered(s.encode("utf-8"), k)
+            # utf-32 + stride-4 slice = CHARACTER k-grams for any text
+            # (the oracle counts character substrings); for len<k docs
+            # the kernel's degenerate branch emits exactly 1 hash,
+            # matching the oracle's greatest(len-k+1, 1)
+            h = shingle_hashes_ordered(s.encode("utf-32-le"), 4 * k)[::4]
             tot[i] = h.size
             dis[i] = np.unique(h).size
         return pd.DataFrame({

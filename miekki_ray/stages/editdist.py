@@ -22,11 +22,16 @@ import ray.data
 
 
 def _char_matrix(names: list[str], width: int) -> np.ndarray:
-    """(n × width) int32 char-code matrix, -1 padded (ASCII inputs)."""
+    """(n × width) int64 codepoint matrix, -1 padded. UTF-32 encoding
+    makes it full-Unicode (one cell per codepoint, matching DuckDB
+    levenshtein's character semantics); padding is masked by position,
+    so NUL characters in real data are not conflated with padding."""
     buf = "".join(n.ljust(width, "\x00") for n in names)
-    m = np.frombuffer(buf.encode("latin-1"), dtype=np.uint8) \
-        .reshape(len(names), width).astype(np.int32)
-    m[m == 0] = -1
+    m = np.frombuffer(buf.encode("utf-32-le"), dtype=np.uint32) \
+        .reshape(len(names), width).astype(np.int64)
+    lens = np.fromiter((len(n) for n in names), dtype=np.int64,
+                       count=len(names))
+    m[np.arange(width)[None, :] >= lens[:, None]] = -1
     return m
 
 

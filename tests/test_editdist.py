@@ -51,3 +51,15 @@ def test_block_pairs_empty_and_singleton():
     assert len(empty) == 0 and list(empty.columns) == ["a", "b", "dist"]
     one = levenshtein_block_pairs(["x"], np.array([1]), 2)
     assert len(one) == 0
+
+
+def test_pairwise_levenshtein_unicode():
+    left = ["café", "naïve", "日本語です", "a\x00b"]
+    right = ["cafe", "naive", "日本語だよ", "ab"]
+    w = max(len(s) for s in left + right)
+    A, B = _char_matrix(left, w), _char_matrix(right, w)
+    la = np.array([len(s) for s in left], dtype=np.int32)
+    lb = np.array([len(s) for s in right], dtype=np.int32)
+    got = list(_pairwise_levenshtein(A, la, B, lb))
+    want = [_ref_lev(a, b) for a, b in zip(left, right)]
+    assert got == want        # é/ï are single codepoints; NUL is a real char

@@ -82,3 +82,20 @@ def test_winnow_short_doc_single_fp():
 
     f = winnow_fingerprints("tiny", 12, 32)
     assert f.size == 1
+
+
+def test_repetition_char_kgram_counts_unicode():
+    """utf-32 stride-4 shingling counts CHARACTER k-grams (oracle
+    semantics) even for multi-byte text."""
+    import numpy as np
+
+    from miekki_ray.functions.hashing import shingle_hashes_ordered
+
+    k = 12
+    for s in ["étude éternelle répétée répétée répétée",
+              "abcabcabcabcabcabcabc", "short", ""]:
+        h = shingle_hashes_ordered(s.encode("utf-32-le"), 4 * k)[::4]
+        want_tot = max(len(s) - k + 1, 1)
+        want_dis = len({s[i:i + k] for i in range(max(len(s) - k + 1, 1))})
+        assert h.size == want_tot, s
+        assert np.unique(h).size == want_dis, s
