@@ -161,3 +161,12 @@ def doc_fingerprint(texts: pd.Series, window: int = 64) -> np.ndarray:
         offsets = np.concatenate(([0], np.cumsum(sizes[nonempty])[:-1]))
         out[nonempty] = np.minimum.reduceat(concat, offsets)
     return out
+
+
+def round_half_away(x, nd: int = 6) -> np.ndarray:
+    """Sign-aware round-half-AWAY-from-zero (DuckDB ROUND semantics) for
+    any-sign values; np.round is banker's and flips exactly-representable
+    .5 boundaries (e.g. 3.125 @ 2dp). NaN passes through."""
+    s = 10.0 ** nd
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s

@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from miekki_ray.functions.textstats import round_half_away
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
           ) -> ray.data.Dataset:
@@ -339,7 +341,7 @@ def events_value_quantiles(sf_dir: str):
         for et, grp in g.groupby("event_type", sort=False):
             v = grp["value"].to_numpy(dtype=np.float64)
             q = np.quantile(v, [0.5, 0.9, 0.99])
-            rows.append((et, *np.round(q, 6)))
+            rows.append((et, *round_half_away(q, 6)))
         return pd.DataFrame(rows, columns=["event_type", "p50", "p90",
                                            "p99"])
 
@@ -491,7 +493,7 @@ def events_stats_by_type(sf_dir: str):
         return pd.DataFrame({
             "event_type": b["event_type"],
             "n": n.astype(np.int64),
-            "avg_value": np.round(mx, 6),
+            "avg_value": round_half_away(mx, 6),
             "stddev_value": np.round(sd, 6),
             "corr_value_user": np.round(corr, 6)})
 
@@ -633,7 +635,7 @@ def events_user_order_full_outer(sf_dir: str):
         return pd.DataFrame({
             "custkey": batch["user_id"].astype("int64"),
             "n_events": batch["n_events"].astype("float64"),
-            "sum_value": np.round(
+            "sum_value": round_half_away(
                 batch["sum_value"].to_numpy(dtype=np.float64), 2),
             "segment": batch["c_mktsegment"],
         })
@@ -759,7 +761,7 @@ def events_corr_by_type(sf_dir: str):
             "event_type": batch["event_type"],
             "n": batch["n"].astype("int64"),
             "corr_v_len": np.round(cxy / np.sqrt(cx * cy), 6),
-            "covar_v_len": np.round(cxy / (n - 1), 6),
+            "covar_v_len": round_half_away(cxy / (n - 1), 6),
             "stddev_v": np.round(np.sqrt(cx / (n - 1)), 6),
         })
 
@@ -951,7 +953,7 @@ def orders_cube_agg(sf_dir: str):
             "priority": batch["o_orderpriority"],
             "status": batch["o_orderstatus"],
             "n": batch["n"].astype("int64"),
-            "sum_price": np.round(batch["s"].to_numpy(np.float64), 2)})
+            "sum_price": round_half_away(batch["s"].to_numpy(np.float64), 2)})
 
     return (merged.map_batches(finish, batch_format="pandas")
             .sort(["priority", "status"]))
@@ -1006,7 +1008,7 @@ def embedding_label_centroids(sf_dir: str):
             "label": batch["label"].astype("int64"),
             "dim": batch["dim"].astype("int64"),
             "n": batch["n"].astype("int64"),
-            "centroid": np.round(batch["s"].to_numpy(np.float64)
+            "centroid": round_half_away(batch["s"].to_numpy(np.float64)
                                  / batch["n"].to_numpy(np.float64), 6)})
 
     return (merged.map_batches(finish, batch_format="pandas")
