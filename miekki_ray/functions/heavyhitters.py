@@ -72,7 +72,9 @@ def approx_top_tokens(docs: ray.data.Dataset, k: int = 20,
         if tbl.num_rows == 0:
             return state
         s = tbl[text_col].to_pandas()
-        vc = s.fillna("").str.split().explode().dropna().value_counts()
+        from miekki_ray.functions.textstats import TOKEN_SPLIT_RE
+        vc = (s.fillna("").str.findall(TOKEN_SPLIT_RE)
+              .explode().dropna().value_counts())
         merged = _merge(pickle.loads(state),
                         (vc.to_dict(), int(vc.sum())), capacity)
         return pickle.dumps(merged)

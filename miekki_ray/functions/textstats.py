@@ -170,3 +170,10 @@ def round_half_away(x, nd: int = 6) -> np.ndarray:
     s = 10.0 ** nd
     x = np.asarray(x, dtype=np.float64)
     return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+# Token = maximal run of chars OUTSIDE the oracle's RE2 split class
+# '[\s\x1c-\x1f]+' (RE2 \s is ASCII [\t\n\f\r ] — NO \v, NO Unicode
+# whitespace). Python str.split() is Unicode-aware and diverges on NBSP /
+# \v /  ; every oracle-compared tokenizer must use THIS class.
+TOKEN_SPLIT_RE = r"[^\t\n\f\r \x1c-\x1f]+"

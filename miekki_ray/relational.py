@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from miekki_ray.functions.textstats import round_half_away
+from miekki_ray.functions.textstats import (TOKEN_SPLIT_RE,
+                                            round_half_away)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
@@ -375,7 +376,8 @@ def documents_top_tokens(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", ["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["text"].str.split().explode().dropna().value_counts()
+        vc = (batch["text"].str.findall(TOKEN_SPLIT_RE)
+              .explode().dropna().value_counts())
         return pd.DataFrame({"token": vc.index.astype(str),
                              "n": vc.to_numpy(dtype=np.int64)})
 
@@ -439,15 +441,19 @@ def lineitem_rollup(sf_dir: str):
                 "n": [batch["n"].sum()], "lvl": [2]})
             outs.append(g0)
             res = pd.concat(outs, ignore_index=True)
-            res["sum_qty"] = res["sum_qty"].round(2)
+            res["sum_qty"] = round_half_away(res["sum_qty"].to_numpy(), 2)
             res["n"] = res["n"].astype("int64")
             return res[["l_returnflag", "l_linestatus", "sum_qty", "n",
                         "lvl"]]
         return f
 
-    # the finest aggregate is group-cardinality-sized (tiny) — one block
+    # the finest aggregate is group-cardinality-sized (tiny) — one block;
+    # batch_size=None pins widen() to exactly one call per block, so the
+    # subtotal/grand-total rows can never be duplicated even when group
+    # cardinality exceeds the default map_batches batch size
     out = (finest.repartition(1)
-           .map_batches(widen(None), batch_format="pandas")
+           .map_batches(widen(None), batch_format="pandas",
+                        batch_size=None)
            .drop_columns(["lvl"]))
     return out
 
@@ -528,7 +534,7 @@ def events_pivot_by_type(sf_dir: str):
     def rnd(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         for c in EVENT_TYPES:
-            b[f"sum_{c}"] = b[f"sum_{c}"].round(6)
+            b[f"sum_{c}"] = round_half_away(b[f"sum_{c}"].to_numpy(), 6)
         b["user_id"] = b["user_id"].astype("int64")
         return b
 
@@ -555,7 +561,7 @@ def lineitem_semi_hot_orders(sf_dir: str):
 
     def rnd(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["sum_price"] = b["sum_price"].round(2)
+        b["sum_price"] = round_half_away(b["sum_price"].to_numpy(), 2)
         return b
 
     return out.map_batches(rnd, batch_format="pandas").sort("l_returnflag")
@@ -575,7 +581,8 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
     n_docs = ds.count()
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        t = (batch.set_index("doc_id")["text"].str.split().explode()
+        t = (batch.set_index("doc_id")["text"]
+             .str.findall(TOKEN_SPLIT_RE).explode()
              .dropna().reset_index())
         t.columns = ["doc_id", "token"]
         u = t.drop_duplicates()
@@ -591,7 +598,8 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         dfm = _ray.get(df_ref)
-        t = (batch.set_index("doc_id")["text"].str.split().explode()
+        t = (batch.set_index("doc_id")["text"]
+             .str.findall(TOKEN_SPLIT_RE).explode()
              .dropna().reset_index())
         t.columns = ["doc_id", "token"]
         tf = (t.groupby(["doc_id", "token"], as_index=False)

@@ -80,9 +80,12 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                                                      + lnames]
         rs = r_.sort_values(["_ts", tie_col], kind="mergesort")[
             ["_key", "_ts"] + rnames]
+        # explicit match indicator: the right ts is non-null IFF matched
+        # (a matched row's PAYLOAD column may be legitimately null)
+        rs = rs.assign(_rmatch=rs["_ts"])
         m = pd.merge_asof(ls, rs, on="_ts", by="_key",
                           direction="backward")
-        m = m.dropna(subset=[rnames[0]])
+        m = m.dropna(subset=["_rmatch"])
         for c in int_out:
             m[c] = m[c].astype("int64")
         return m[out_cols]

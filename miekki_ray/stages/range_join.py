@@ -106,7 +106,9 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset, *,
         res = l_[["_key", "_ts"] + lnames].copy()
         res["n_matched"] = counts
         if sum_col is not None:
-            res["sum_matched"] = np.round(sums, 6)
+            from miekki_ray.functions.textstats import \
+                round_half_away
+            res["sum_matched"] = round_half_away(sums, 6)
         for c in int_out:
             res[c] = res[c].astype("int64")
         return res[out_cols]

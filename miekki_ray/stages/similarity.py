@@ -69,10 +69,9 @@ def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
         scores = m @ q.T                       # (nb, nq)
         nb, nq = scores.shape
         kk = min(k, nb)
-        top = np.argpartition(-scores, kk - 1, axis=0)[:kk]   # (kk, nq)
         out_q, out_id, out_s = [], [], []
         for qi in range(nq):
-            idx = top[:, qi]
+            idx = _det_topk_idx(scores[:, qi], ids, kk)
             out_q.append(np.full(kk, qi, dtype=np.int32))
             out_id.append(ids[idx])
             out_s.append(scores[idx, qi])
@@ -87,6 +86,15 @@ def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
     return _rank_topk(parts, k, id_col)
 
 
+def _det_topk_idx(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Per-batch top-k selection with the SAME (rounded score DESC, id ASC)
+    order the final merge and the SQL oracle use — raw-score argpartition
+    could keep the wrong id when scores tie at 6dp on the k boundary."""
+    from miekki_ray.functions.textstats import round_half_away
+
+    return np.lexsort((ids, -round_half_away(scores, 6)))[:kk]
+
+
 def _rank_topk(parts: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
     """Deterministic final merge: round scores to 6dp, rank by
     (score desc, id asc), keep top k per query."""
@@ -94,7 +102,8 @@ def _rank_topk(parts: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
         parts["rank"] = pd.Series([], dtype=np.int32)
         return parts
     parts = parts.copy()
-    parts["score"] = parts["score"].round(6)
+    from miekki_ray.functions.textstats import round_half_away
+    parts["score"] = round_half_away(parts["score"].to_numpy(), 6)
     parts = parts.sort_values(
         ["query_idx", "score", id_col], ascending=[True, False, True],
         kind="mergesort").reset_index(drop=True)
@@ -148,7 +157,7 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
             sub = m[mask]
             scores = sub @ q[qi]
             kk = min(k, sub.shape[0])
-            idx = np.argpartition(-scores, kk - 1)[:kk]
+            idx = _det_topk_idx(scores, ids[mask], kk)
             out_q.append(np.full(kk, qi, dtype=np.int32))
             out_id.append(ids[mask][idx])
             out_s.append(scores[idx])
@@ -228,7 +237,7 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
             sub = m[mask]
             scores = sub @ q[qi]
             kk = min(k, sub.shape[0])
-            idx = np.argpartition(-scores, kk - 1)[:kk]
+            idx = _det_topk_idx(scores, ids[mask], kk)
             out_q.append(np.full(kk, qi, dtype=np.int32))
             out_id.append(ids[mask][idx])
             out_s.append(scores[idx])

@@ -82,7 +82,7 @@ def rolling_window(events: ray.data.Dataset, window: int = 3,
     cumsum difference), so the FP addition order matches a sequential SQL
     evaluation and there is no accumulated-cumsum drift; both sides are
     rounded half-away-from-zero to 6 dp."""
-    from miekki_ray.functions.textstats import _round6_half_away
+    from miekki_ray.functions.textstats import round_half_away
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
@@ -104,8 +104,8 @@ def rolling_window(events: ray.data.Dataset, window: int = 3,
             "user_id": g["user_id"],
             "ts": g["ts"],
             "value": g["value"],
-            "roll_sum": _round6_half_away(acc.to_numpy()),
-            "roll_avg": _round6_half_away((acc / n).to_numpy()),
+            "roll_sum": round_half_away(acc.to_numpy()),
+            "roll_avg": round_half_away((acc / n).to_numpy()),
         })
 
     return (events.select_columns(["event_id", "user_id", "ts", "value"])
@@ -204,7 +204,7 @@ def running_sum(events: ray.data.Dataset,
     single vectorized sequential pass per partition, which matches the
     oracle's sequential frame evaluation; both sides round to 6 dp to
     absorb DuckDB's segment-tree summation order."""
-    from miekki_ray.functions.textstats import _round6_half_away
+    from miekki_ray.functions.textstats import round_half_away
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
@@ -219,7 +219,7 @@ def running_sum(events: ray.data.Dataset,
             "user_id": g["user_id"],
             "ts": g["ts"],
             "value": g["value"],
-            "run_sum": _round6_half_away(
+            "run_sum": round_half_away(
                 by["value"].cumsum().to_numpy(dtype=np.float64)),
             "run_n": by.cumcount().to_numpy(dtype=np.int64) + 1,
         })

@@ -48,9 +48,13 @@ def input_fingerprint(paths) -> str:
     entries = []
     for p in paths:
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                fp = os.path.join(p, f)
-                if os.path.isfile(fp):
+            # recursive: hive/date-partitioned layouts keep their files in
+            # subdirectories — a top-level-only listing would fingerprint
+            # every such corpus to the same empty list
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
                     st = os.stat(fp)
                     entries.append((fp, st.st_size, int(st.st_mtime_ns)))
         elif os.path.isfile(p):
