@@ -90,6 +90,15 @@ class DedupConfig:
             )
         if self.k < 1:
             raise ValueError("k must be >= 1")
+        if self.prefix_sketch_bytes < self.k:
+            # a prefix window shorter than one shingle would yield an EMPTY
+            # prefix set, and minhash_from_concat's reduceat would silently
+            # assign that doc its neighbor's signature (review finding,
+            # reproduced) — reject the config outright
+            raise ValueError(
+                f"prefix_sketch_bytes ({self.prefix_sketch_bytes}) must be "
+                f">= k ({self.k}): shorter prefixes produce empty shingle "
+                "sets and corrupt prefix signatures")
         if not (0.0 < self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold must be in (0, 1]")
 

@@ -121,8 +121,12 @@ def shingle_sets_from_arrow(col, k: int,
                     if e - s <= prefix_bytes:
                         psets.append(h)
                     else:
+                        # max(...) guards prefix_bytes < k (validated away in
+                        # DedupConfig, kept as defense): an empty slice here
+                        # would violate minhash_from_concat's >=1-shingle
+                        # precondition and corrupt the next doc's psig
                         psets.append(np.unique(
-                            big[s:s + prefix_bytes - k + 1]))
+                            big[s:s + max(prefix_bytes - k + 1, 1)]))
             else:
                 h = shingle_hashes(data[cs + s:cs + e].tobytes(), k)
                 sets.append(h)

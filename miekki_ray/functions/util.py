@@ -2,9 +2,37 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+
+def add_uint_part(col: str, P: int):
+    """Shared hash-partition tagging idiom for a uint64-viewable column:
+    a zero-copy Arrow ``map_batches`` fn appending ``_part = col % P``.
+    One definition instead of per-module copies (exact dedup ×2, LSH
+    candidates, index-query) so the partitioning convention lives in one
+    place."""
+    def f(batch: pa.Table) -> pa.Table:
+        part = (batch[col].to_numpy().view(np.uint64)
+                % np.uint64(P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+
+    return f
+
+
+def add_str_part(col: str, P: int):
+    """String-column variant of ``add_uint_part`` (pandas batch format):
+    ``_part = hash_pandas_object(col) % P``."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            batch[col].astype(str), index=False).to_numpy(dtype=np.uint64)
+        batch = batch.copy()
+        batch["_part"] = (h % np.uint64(P)).astype(np.int32)
+        return batch
+
+    return f
 
 
 def pa_from_pandas(df: pd.DataFrame) -> pa.Table:

@@ -109,7 +109,10 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
         from miekki_ray.stages.verify import empty_verified
         verified = empty_verified()
     else:
-        with_docs = attach_docs(pairs, docs, cfg, n_pairs=n_pairs)
+        # join against the deduped docs only: pairs reference unique_docs
+        # exclusively, so loser rows would be dead weight through both hash
+        # joins (≥2x right-side payload on dup-heavy corpora)
+        with_docs = attach_docs(pairs, unique_docs, cfg, n_pairs=n_pairs)
         # verified stays LAZY: the edges materialization below is its only
         # in-pipeline consumer (one barrier instead of two); accessing
         # DedupResult.verified later re-executes the verify chain
@@ -173,10 +176,20 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
              if not isinstance(turns_path, ray.data.Dataset) else None)
     docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
                          input_fp=in_fp)
+    # exact_dedup's doc_hash shuffle runs ONCE even though its two outputs
+    # checkpoint as separate stages — both lambdas share the memoized tuple
+    # (each output is a cheap filter of one internally-materialized table)
+    _exact: list = []
+
+    def _exact_once(i: int):
+        if not _exact:
+            _exact.append(exact_dedup(docs, cfg))
+        return _exact[0][i]
+
     uniq, d_uniq = r.run(
-        "unique_docs", lambda: exact_dedup(docs, cfg)[0], upstream_dir=d_docs)
+        "unique_docs", lambda: _exact_once(0), upstream_dir=d_docs)
     ex_edges, d_ex = r.run(
-        "exact_edges", lambda: exact_dedup(docs, cfg)[1], upstream_dir=d_docs)
+        "exact_edges", lambda: _exact_once(1), upstream_dir=d_docs)
     bands, d_bands = r.run(
         "band_rows", lambda: band_explode(sketch_docs(uniq, cfg), cfg),
         upstream_dir=d_uniq)
@@ -185,9 +198,16 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     from miekki_ray.stages.verify import empty_verified
 
     def _verify():
-        if pairs.count() == 0:
+        n_pairs = pairs.count()
+        if n_pairs == 0:
             return empty_verified()
-        return verify_pairs(attach_docs(pairs, uniq, cfg), cfg)
+        # n_pairs drives attach_docs' adaptive join width — without it the
+        # join runs at cfg.num_partitions and small candidate sets leave
+        # most join partitions with zero left blocks (verify.py env note:
+        # Ray's join finalize chokes on those, and over-wide joins measure
+        # ~3x slower)
+        return verify_pairs(attach_docs(pairs, uniq, cfg, n_pairs=n_pairs),
+                            cfg)
 
     verified, d_ver = r.run("verified", _verify, upstream_dir=d_pairs)
     edges, d_edges = r.run(

@@ -110,14 +110,10 @@ def match_query_vs_index(query_turns: ray.data.Dataset,
     hot = hot_bucket_keys(bands.drop_columns(["side"]), cfg)
     salted = salt_hot_buckets(bands, hot, cfg)
     P = cfg.num_partitions
+    from miekki_ray.functions.util import add_uint_part
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["bucket_key"].to_numpy().view(np.uint64)
-                % U64(P)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    raw = (salted.map_batches(add_part, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    raw = (salted.map_batches(add_uint_part("bucket_key", P),
+                              batch_format="pyarrow", zero_copy_batch=True)
            .groupby("_part")
            .map_groups(_emit_cross_pairs(cfg), batch_format="pandas"))
     pairs = distinct_pairs(raw, cfg).materialize()

@@ -172,14 +172,10 @@ def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig,
         memit(metrics_name, {"hot_buckets_salted": int(hot.size)})
     salted = salt_hot_buckets(band_rows, hot, cfg)
     P = cfg.num_partitions
+    from miekki_ray.functions.util import add_uint_part
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["bucket_key"].to_numpy().view(np.uint64)
-                % U64(P)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    parted = salted.map_batches(add_part, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    parted = salted.map_batches(add_uint_part("bucket_key", P),
+                                batch_format="pyarrow", zero_copy_batch=True)
     raw_pairs = parted.groupby("_part").map_groups(
         _emit_pairs_partition(cfg, metrics_name), batch_format="pandas")
     return distinct_pairs(raw_pairs, cfg)

@@ -101,22 +101,71 @@ def _label_fingerprint(labels: ray.data.Dataset) -> int:
     return sum(int(r["fp"]) for r in parts) % (1 << 64)
 
 
+def _pointer_jump(labels: ray.data.Dataset, P: int) -> ray.data.Dataset:
+    """One pointer-jumping pass: label(v) <- label(label(v)).
+
+    Labels are monotone non-increasing node ids within v's component, and
+    every label value is itself a node with a label row, so the composed
+    label is still in-component and <= the current one. Combined with the
+    one-hop edge propagation this halves remaining path lengths each round
+    (O(log diameter) rounds instead of O(diameter)).
+
+    Rendered as ONE hash-partition shuffle over the (node, label) table:
+    entry rows keyed by node meet request rows keyed by label value."""
+    from miekki_ray.functions.util import add_str_part
+
+    def tag(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_pandas().astype(str)
+        lab = batch["label"].to_pandas().astype(str)
+        key = pd.concat([node, lab], ignore_index=True)
+        val = pd.concat([lab, node], ignore_index=True)
+        is_req = np.concatenate([np.zeros(len(node), dtype=bool),
+                                 np.ones(len(node), dtype=bool)])
+        return pa.table({
+            "key": pa.array(key.to_numpy(), type=pa.string()),
+            "val": pa.array(val.to_numpy(), type=pa.string()),
+            "is_req": pa.array(is_req),
+        })
+
+    def resolve(group: pd.DataFrame) -> pa.Table:
+        ent = group[~group["is_req"]]
+        m = pd.Series(ent["val"].to_numpy(), index=ent["key"].to_numpy())
+        m = m[~m.index.duplicated()]
+        req = group[group["is_req"]]
+        newlab = req["key"].map(m).fillna(req["key"])
+        return pa.table({
+            "node": pa.array(req["val"].to_numpy().astype(str),
+                             type=pa.string()),
+            "label": pa.array(newlab.to_numpy().astype(str),
+                              type=pa.string()),
+        })
+
+    return (labels.map_batches(tag, batch_format="pyarrow")
+            .map_batches(add_str_part("key", P), batch_format="pandas")
+            .groupby("_part").map_groups(resolve, batch_format="pandas"))
+
+
 def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
-                               max_rounds: int = 50
+                               max_rounds: int = 64
                                ) -> ray.data.Dataset | None:
     """Hash-min label propagation entirely in Ray Data groupby-min shuffles.
 
-    labels(v) starts as min(v, neighbors); each round propagates the min
-    label across edges until fixpoint. Returns a (node, label) Dataset for
-    the ids appearing in edges (None when there are no edges) — the
-    100-TB-scale path: labels never land on the driver; downstream
+    labels(v) starts as min(v, neighbors); each round (a) propagates the
+    min label across edges and (b) pointer-jumps label(v) <- label(label(v)),
+    so convergence takes O(log diameter) rounds. Returns a (node, label)
+    Dataset for the ids appearing in edges (None when there are no edges) —
+    the 100-TB-scale path: labels never land on the driver; downstream
     assignment is ``assign_clusters_ds``.
 
     The per-round state is a (node, label) Dataset — never the corpus — so
     this scales with the number of DUPLICATE docs, not corpus size. The
-    fixpoint check is a tiny aggregate per round.
+    fixpoint check is a streaming fingerprint of the label table (no extra
+    shuffle). Raises RuntimeError instead of silently returning split
+    components if max_rounds is ever hit (would need diameter > 2^rounds).
     """
     from ray.data.aggregate import Min
+
+    from miekki_ray.functions.util import add_str_part
 
     P = cfg.num_partitions
     e = edges.select_columns(["a", "b"]).materialize()
@@ -140,18 +189,18 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({
             "node": batch["node"],
-            "other": batch["node"],     # label := self
-            "is_label": pa.array([True] * batch.num_rows, type=pa.bool_()),
+            "label": batch["node"],     # label := self
         })
 
-    cand = edges_sym.map_batches(init_labels, batch_format="pyarrow")
+    # exactly one row per node after the first aggregate below
+    labels = edges_sym.map_batches(init_labels, batch_format="pyarrow")
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["node"].astype(str),
-                                       index=False).to_numpy(dtype=np.uint64)
-        batch = batch.copy()
-        batch["_part"] = (h % np.uint64(P)).astype(np.int32)
-        return batch
+    def as_label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"],
+            "other": batch["label"],
+            "is_label": pa.array(np.ones(batch.num_rows, dtype=bool)),
+        })
 
     def propagate(group: pd.DataFrame) -> pa.Table:
         """One hash-min step over a partition: per node, current label =
@@ -164,29 +213,34 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
         out_label = pd.concat(
             [lab.reset_index(drop=True), peer_lab.reset_index(drop=True)],
             ignore_index=True)
-        n = len(out_node)
         return pa.table({
             "node": pa.array(out_node.astype(str).to_numpy(),
                              type=pa.string()),
             "other": pa.array(out_label.astype(str).to_numpy(),
                               type=pa.string()),
-            "is_label": pa.array(np.ones(n, dtype=bool)),
         })
 
     fp_prev = None
     for _ in range(max_rounds):
-        mixed = edges_sym.union(cand)
-        cand = (mixed.map_batches(add_part, batch_format="pandas")
+        mixed = edges_sym.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow"))
+        cand = (mixed.map_batches(add_str_part("node", P),
+                                  batch_format="pandas")
                 .groupby("_part")
-                .map_groups(propagate, batch_format="pandas")
-                .materialize())
-        fp = _label_fingerprint(
-            cand.groupby("node").aggregate(Min("other", alias_name="label")))
+                .map_groups(propagate, batch_format="pandas"))
+        # the per-node min IS the next round's label set (one shuffle,
+        # reused — not computed once for a fingerprint and thrown away)
+        labels = cand.groupby("node").aggregate(
+            Min("other", alias_name="label"))
+        labels = _pointer_jump(labels, P).materialize()
+        fp = _label_fingerprint(labels)
         if fp == fp_prev:
-            break
+            return labels
         fp_prev = fp
-    return (cand.groupby("node")
-            .aggregate(Min("other", alias_name="label")).materialize())
+    raise RuntimeError(
+        f"cluster_labels_distributed did not converge in {max_rounds} "
+        "rounds — component diameter would have to exceed 2^rounds; "
+        "raise max_rounds (silent non-convergence would split clusters)")
 
 
 def cluster_edges_distributed(edges: ray.data.Dataset, cfg: DedupConfig,

@@ -84,15 +84,25 @@ def _assemble(cfg: DedupConfig):
         bounds = np.append(change, len(ids))
         out_ids: list[str] = []
         out_docs: list[str] = []
+        out_bytes: list[bytes] = []
         out_nturns = np.empty(len(change), dtype=np.int32)
         for gi, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
             out_ids.append(ids[s])
             d = turn_sep.join(piece_list[s:e])
-            if len(d) > cap:           # §7 hard part 5: cap very wide docs
-                d = d[:cap]
+            db = d.encode("utf-8")
+            if len(db) > cap:  # §7 hard part 5: cap very wide docs — the
+                # cap is denominated in BYTES (config.py doc_len_cap: the
+                # sketcher/verify memory envelope is utf-8 bytes, and a
+                # char-cap would admit ~4x the budget on CJK/emoji text);
+                # back off to a codepoint boundary so the doc stays valid
+                # errors="ignore" drops only a trailing partial sequence
+                # (input is re-encoded str, so nothing else can be invalid)
+                d = db[:cap].decode("utf-8", errors="ignore")
+                db = d.encode("utf-8")
             out_docs.append(d)
+            out_bytes.append(db)
             out_nturns[gi] = e - s
-        dh = doc_hash([d.encode("utf-8") for d in out_docs])
+        dh = doc_hash(out_bytes)
         return pa.table({
             "conv_id": pa.array(out_ids, type=pa.string()),
             "doc": pa.array(out_docs, type=pa.large_string()),

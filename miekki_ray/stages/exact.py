@@ -34,14 +34,11 @@ def _dedup_partition(group: pd.DataFrame) -> pa.Table:
 
 def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
                 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    from miekki_ray.functions.util import add_uint_part
+
     P = cfg.num_partitions
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["doc_hash"].to_numpy() % np.uint64(P)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    parted = docs.map_batches(add_part, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    parted = docs.map_batches(add_uint_part("doc_hash", P),
+                              batch_format="pyarrow", zero_copy_batch=True)
     # materialize the tagged table ONCE: both outputs (unique docs + exact
     # edges) are cheap filters of it — without this, each consumer re-runs
     # the whole upstream shuffle
@@ -78,15 +75,12 @@ def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
     cfg.broadcast_loser_limit the flagship switches to the full
     ``exact_dedup`` doc_hash shuffle instead (SURVEY.md §2.4 J3/J4).
     Semantics identical to exact_dedup."""
+    from miekki_ray.functions.util import add_uint_part
+
     slim = docs.select_columns(["conv_id", "doc_hash"])
     P = cfg.num_partitions
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["doc_hash"].to_numpy() % np.uint64(P)).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
-
-    tagged = (slim.map_batches(add_part, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    tagged = (slim.map_batches(add_uint_part("doc_hash", P),
+                               batch_format="pyarrow", zero_copy_batch=True)
               .groupby("_part")
               .map_groups(_dedup_partition, batch_format="pandas")
               .materialize())
