@@ -42,6 +42,21 @@ def test_distributed_matches_driver():
     assert cluster_edges_distributed(ds, cfg) == cluster_edges_driver(ds)
 
 
+def test_distributed_deep_chain():
+    # 40-node path with the component min at the far end: one-hop hash-min
+    # alone needs ~39 rounds; the pointer-jump step must cut that to
+    # O(log d). max_rounds=10 > log2(39)+slack makes the test fail loudly
+    # (RuntimeError) if jumping ever regresses to linear convergence.
+    from miekki_ray.stages.cluster import cluster_labels_distributed
+    cfg = DedupConfig(num_partitions=4)
+    chain = [(f"c{i+1:02d}", f"c{i:02d}") for i in range(39)]
+    ds = _edges_ds(list(reversed(chain)))
+    labels = cluster_labels_distributed(ds, cfg, max_rounds=10)
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert got == {f"c{i:02d}": "c00" for i in range(40)}
+    assert cluster_edges_distributed(ds, cfg) == cluster_edges_driver(ds)
+
+
 def test_empty_edges():
     import pyarrow as pa
     ds = ray.data.from_arrow(pa.table({
