@@ -1,0 +1,100 @@
+"""Adversarial-corpus end-to-end tests: inputs the golden corpus never
+produces — all-identical corpora (one giant LSH bucket), empty input,
+single conversation, multibyte text across the byte-denominated doc cap.
+The sf0.01 harness can't see these either (driver data is well-behaved),
+so they live here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from miekki_ray.config import DedupConfig
+from miekki_ray.pipelines.dedup import dedup_datasets, keep_list
+
+
+def _turns(rows: list[tuple[str, int, str]]) -> pa.Table:
+    """rows = [(conv_id, turn_idx, text)] -> spec-schema turns table."""
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "role": pa.array(["user" if r[1] % 2 == 0 else "assistant"
+                          for r in rows], type=pa.string()),
+        "text": pa.array([r[2] for r in rows], type=pa.string()),
+        "tool": pa.array([None] * len(rows), type=pa.string()),
+        "ts": pa.array(np.full(len(rows), 1_700_000_000_000_000,
+                               dtype=np.int64), type=pa.timestamp("us")),
+    })
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return DedupConfig(num_partitions=4, sketch_concurrency=2)
+
+
+def test_all_identical_corpus_one_cluster(tiny_cfg):
+    # 60 byte-identical multi-turn convs: exact dedup collapses them before
+    # LSH, and the survivors' bucket is a worst-case mega-bucket — the
+    # salting/cap path must still produce ONE component with one rep
+    rows = [(f"c{i:03d}", t, f"turn text {t} lorem ipsum dolor sit amet")
+            for i in range(60) for t in range(4)]
+    res = dedup_datasets(ray.data.from_arrow(_turns(rows)), tiny_cfg)
+    cl = res.clusters.to_pandas()
+    assert len(cl) == 60
+    assert cl["cluster_id"].nunique() == 1
+    assert cl["cluster_id"].iloc[0] == "c000"
+    keep = keep_list(res).to_pandas()
+    assert list(keep["conv_id"]) == ["c000"]
+
+
+def test_empty_turns_table(tiny_cfg):
+    res = dedup_datasets(ray.data.from_arrow(_turns([])), tiny_cfg)
+    assert res.clusters.count() == 0
+    assert res.edges.count() == 0
+
+
+def test_single_conversation_is_singleton_rep(tiny_cfg):
+    rows = [("only", 0, "a single conversation, nothing to dedup"),
+            ("only", 1, "second turn of it")]
+    res = dedup_datasets(ray.data.from_arrow(_turns(rows)), tiny_cfg)
+    cl = res.clusters.to_pandas()
+    assert len(cl) == 1
+    assert cl.iloc[0]["cluster_id"] == "only"
+    assert bool(cl.iloc[0]["is_rep"])
+
+
+def test_multibyte_text_and_byte_cap(tiny_cfg):
+    # docs over doc_len_cap BYTES of 3-byte CJK chars: the cap must cut on
+    # a codepoint boundary (valid UTF-8 all the way through) and two convs
+    # identical up to the cap must still dedup as exact twins even though
+    # they differ past it
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, doc_len_cap=600)
+    base = "世界" * 200     # 400 chars / 1200 bytes of CJK
+    rows = [("cjk_a", 0, base + "TAIL-A"),
+            ("cjk_b", 0, base + "completely different tail B"),
+            ("other", 0, "an unrelated ascii conversation \U0001f600")]
+    res = dedup_datasets(ray.data.from_arrow(_turns(rows)), cfg)
+    cl = res.clusters.to_pandas().set_index("conv_id")["cluster_id"]
+    assert cl["cjk_a"] == cl["cjk_b"] == "cjk_a"
+    assert cl["other"] == "other"
+    # the stored doc column stays valid utf-8 and within the byte budget
+    docs = res.docs.to_pandas().set_index("conv_id")["doc"]
+    for d in docs:
+        assert len(d.encode("utf-8")) <= 600
+        d.encode("utf-8").decode("utf-8")   # round-trips
+
+
+def test_near_dup_multibyte_pair_found(tiny_cfg):
+    # a planted near-dup pair in emoji/CJK-heavy text must verify: the
+    # shingler hashes BYTES, so multibyte text must not break k-gram windows
+    body = ("こんにちは世界 \U0001f600 " * 30)
+    rows = [("jp_a", 0, body + "suffix one"),
+            ("jp_b", 0, body + "suffix two"),
+            ("far", 0, "totally unrelated english text about parquet files")]
+    res = dedup_datasets(ray.data.from_arrow(_turns(rows)), tiny_cfg)
+    cl = res.clusters.to_pandas().set_index("conv_id")["cluster_id"]
+    assert cl["jp_a"] == cl["jp_b"] == "jp_a"
+    assert cl["far"] == "far"
