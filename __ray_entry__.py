@@ -67,13 +67,20 @@ _DEDUP_CACHE: dict[str, Any] = {}
 
 def _dedup_result(sf_dir: str):
     """The flagship is consumed by three queries()-entries; run it once per
-    sf_dir (clusters/edges are materialized Datasets inside the result)."""
+    sf_dir (clusters/edges are materialized Datasets inside the result).
+
+    containment_enabled=False for the ORACLE-compared run only: ST3
+    containment edges fire on pairs that collide in an LSH band yet have
+    J<0.8 — a probabilistic event no deterministic SQL oracle can model.
+    ST3 itself stays graded via the `containment_pairs` query (exact
+    `contains()` oracle) and the golden pytest suite; entry() and the job
+    CLI keep containment on."""
     if sf_dir not in _DEDUP_CACHE:
         from miekki_ray.adapter import documents_as_turns
         from miekki_ray.pipelines.dedup import dedup_datasets
 
         _DEDUP_CACHE[sf_dir] = dedup_datasets(
-            documents_as_turns(sf_dir), _cfg())
+            documents_as_turns(sf_dir), _cfg(containment_enabled=False))
     return _DEDUP_CACHE[sf_dir]
 
 
@@ -257,7 +264,9 @@ def _index_query_matches(sf_dir: str):
     from miekki_ray.pipelines.index_query import match_query_vs_index
 
     q, i = _parity_split(sf_dir)
-    out = match_query_vs_index(q, i, _cfg())
+    # containment off: the SQL oracle models Jaccard-only matches (see
+    # _dedup_result's rationale)
+    out = match_query_vs_index(q, i, _cfg(containment_enabled=False))
     return out.filter(expr="verified == True or contained == True") \
         .select_columns(["query_id", "index_id", "verified", "contained"]) \
         .sort(["query_id", "index_id"])
@@ -269,7 +278,8 @@ def _incremental_clusters(sf_dir: str):
     from miekki_ray.pipelines.incremental import dedup_incremental
 
     new, kept = _parity_split(sf_dir)
-    return dedup_incremental(new, kept, _cfg()) \
+    # containment off: Jaccard-only oracle (see _dedup_result's rationale)
+    return dedup_incremental(new, kept, _cfg(containment_enabled=False)) \
         .select_columns(["conv_id", "cluster_id", "is_new_cluster"]) \
         .sort("conv_id")
 

@@ -22,14 +22,22 @@ def add_uint_part(col: str, P: int):
     return f
 
 
+def str_part(s: pd.Series, P: int) -> np.ndarray:
+    """THE string hash-partition convention (int32 ``hash_pandas_object %
+    P``), in one place — every stage that co-partitions on a string key
+    must use this so two stages that claim the same key layout actually
+    agree."""
+    h = pd.util.hash_pandas_object(
+        s.astype(str), index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(P)).astype(np.int32)
+
+
 def add_str_part(col: str, P: int):
     """String-column variant of ``add_uint_part`` (pandas batch format):
-    ``_part = hash_pandas_object(col) % P``."""
+    ``_part = str_part(col, P)``."""
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            batch[col].astype(str), index=False).to_numpy(dtype=np.uint64)
         batch = batch.copy()
-        batch["_part"] = (h % np.uint64(P)).astype(np.int32)
+        batch["_part"] = str_part(batch[col], P)
         return batch
 
     return f

@@ -64,7 +64,15 @@ def main(argv: list[str] | None = None) -> int:
     res = run_dedup(args.turns, cfg, out_dir=args.out)
     n_clusters = res.clusters.count()
     keep = keep_list(res)
-    keep.write_parquet(f"{args.out}/keep_list")
+    # Ray's write_parquet APPENDS uuid-named files to an existing dir; on
+    # re-submit (the resume flow) that would double every keep row. The
+    # keep_list is a final output, not a checkpoint — replace it wholesale.
+    keep_dir = f"{args.out}/keep_list"
+    if "://" not in keep_dir:
+        import shutil
+
+        shutil.rmtree(keep_dir, ignore_errors=True)
+    keep.write_parquet(keep_dir)
     summary = {
         "clusters_rows": n_clusters,
         "keep_rows": keep.count(),

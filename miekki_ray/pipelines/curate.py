@@ -59,10 +59,9 @@ def keep_first_exact(scored: ray.data.Dataset,
     a partitioner here, not an identity). Text crosses the exchange once
     — the same cost contract as the flagship's doc shuffle."""
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["text"], index=False) \
-            .to_numpy(np.uint64)
-        part = (h % np.uint64(num_partitions)).astype(np.int32)
-        return batch.assign(_p=part)
+        from miekki_ray.functions.util import str_part
+
+        return batch.assign(_p=str_part(batch["text"], num_partitions))
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("doc_id", kind="mergesort")

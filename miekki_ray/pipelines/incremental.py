@@ -29,10 +29,7 @@ from miekki_ray.pipelines.dedup import dedup_datasets
 from miekki_ray.pipelines.index_query import match_query_vs_index
 
 
-def _part_col(s: pd.Series, P: int) -> np.ndarray:
-    h = pd.util.hash_pandas_object(s.astype(str), index=False) \
-        .to_numpy(dtype=np.uint64)
-    return (h % np.uint64(P)).astype(np.int32)
+from miekki_ray.functions.util import str_part as _part_col
 
 
 def dedup_incremental(new_turns: ray.data.Dataset,

@@ -21,6 +21,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from miekki_ray.functions.textstats import (TOKEN_SPLIT_RE,
                                             round_half_away)
+from miekki_ray.functions.util import str_part
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None
@@ -290,12 +291,7 @@ def customers_top_per_segment(sf_dir: str, k: int = 3):
     P = 8
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["c_mktsegment"].astype(str),
-                                       index=False) \
-            .to_numpy(dtype=np.uint64)
-        batch = batch.copy()
-        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
-        return batch
+        return batch.assign(_p=str_part(batch["c_mktsegment"], P))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["c_mktsegment", "c_acctbal", "c_custkey"],
@@ -330,12 +326,7 @@ def events_value_quantiles(sf_dir: str):
     P = 8
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch["event_type"].astype(str),
-                                       index=False) \
-            .to_numpy(dtype=np.uint64)
-        batch = batch.copy()
-        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
-        return batch
+        return batch.assign(_p=str_part(batch["event_type"], P))
 
     def quant(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -427,35 +418,26 @@ def lineitem_rollup(sf_dir: str):
               .aggregate(Sum("l_quantity", alias_name="sum_qty"),
                          Count(alias_name="n")))
 
-    def widen(levels):
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
         """Re-aggregate the finest level to each coarser grouping set."""
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            outs = [batch.assign(lvl=0)]
-            g1 = (batch.groupby("l_returnflag", as_index=False)
-                  .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
-            g1["l_linestatus"] = None
-            outs.append(g1.assign(lvl=1))
-            g0 = pd.DataFrame({
-                "l_returnflag": [None], "l_linestatus": [None],
-                "sum_qty": [batch["sum_qty"].sum()],
-                "n": [batch["n"].sum()], "lvl": [2]})
-            outs.append(g0)
-            res = pd.concat(outs, ignore_index=True)
-            res["sum_qty"] = round_half_away(res["sum_qty"].to_numpy(), 2)
-            res["n"] = res["n"].astype("int64")
-            return res[["l_returnflag", "l_linestatus", "sum_qty", "n",
-                        "lvl"]]
-        return f
+        g1 = (batch.groupby("l_returnflag", as_index=False)
+              .agg(sum_qty=("sum_qty", "sum"), n=("n", "sum")))
+        g1["l_linestatus"] = None
+        g0 = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "sum_qty": [batch["sum_qty"].sum()],
+            "n": [batch["n"].sum()]})
+        res = pd.concat([batch, g1, g0], ignore_index=True)
+        res["sum_qty"] = round_half_away(res["sum_qty"].to_numpy(), 2)
+        res["n"] = res["n"].astype("int64")
+        return res[["l_returnflag", "l_linestatus", "sum_qty", "n"]]
 
     # the finest aggregate is group-cardinality-sized (tiny) — one block;
     # batch_size=None pins widen() to exactly one call per block, so the
     # subtotal/grand-total rows can never be duplicated even when group
     # cardinality exceeds the default map_batches batch size
-    out = (finest.repartition(1)
-           .map_batches(widen(None), batch_format="pandas",
-                        batch_size=None)
-           .drop_columns(["lvl"]))
-    return out
+    return finest.repartition(1).map_batches(
+        widen, batch_format="pandas", batch_size=None)
 
 
 def events_stats_by_type(sf_dir: str):
@@ -668,11 +650,9 @@ def documents_stratified_sample(sf_dir: str, n: int = 5):
         md5 = np.fromiter(
             (hashlib.md5(str(i).encode()).hexdigest() for i in ids),
             dtype="<U32", count=len(batch))
-        h = pd.util.hash_pandas_object(batch["lang"].astype(str),
-                                       index=False).to_numpy(np.uint64)
         return pd.DataFrame({
             "doc_id": ids, "lang": batch["lang"], "_md5": md5,
-            "_p": (h % np.uint64(P)).astype(np.int32)})
+            "_p": str_part(batch["lang"], P)})
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["lang", "_md5", "doc_id"], kind="mergesort")

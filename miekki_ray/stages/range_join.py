@@ -87,22 +87,26 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset, *,
         n = len(l_)
         counts = np.zeros(n, dtype=np.int64)
         sums = np.zeros(n, dtype=np.float64)
-        # map each left row to its right segment (or none)
-        seg_of = np.searchsorted(seg_keys, l_keys)
-        seg_of_valid = (seg_of < len(seg_keys))
-        seg_of_valid[seg_of_valid] &= (
-            seg_keys[seg_of[seg_of_valid]] == l_keys[seg_of_valid])
-        for s in np.unique(seg_of[seg_of_valid]):
-            mask = seg_of_valid & (seg_of == s)
+        # left rows per key are contiguous (l_ sorted by _key), so segment
+        # both sides and assign by slice — O(n log n) total, never a
+        # full-length mask per key
+        l_seg_keys, l_starts = np.unique(l_keys, return_index=True)
+        l_ends = np.append(l_starts[1:], n)
+        seg_of = np.searchsorted(seg_keys, l_seg_keys)
+        valid = seg_of < len(seg_keys)
+        valid[valid] &= seg_keys[seg_of[valid]] == l_seg_keys[valid]
+        for j in np.flatnonzero(valid):
+            s = seg_of[j]
+            sl = slice(l_starts[j], l_ends[j])
             a, b = seg_starts[s], seg_ends[s]
             ts_seg = r_ts[a:b]
-            lo_idx = np.searchsorted(ts_seg, l_ts[mask] + lo_us,
+            lo_idx = np.searchsorted(ts_seg, l_ts[sl] + lo_us,
                                      side="right")
-            hi_idx = np.searchsorted(ts_seg, l_ts[mask] + hi_us,
+            hi_idx = np.searchsorted(ts_seg, l_ts[sl] + hi_us,
                                      side="right")
-            counts[mask] = hi_idx - lo_idx
+            counts[sl] = hi_idx - lo_idx
             if sum_col is not None:
-                sums[mask] = (r_psum[a + hi_idx] - r_psum[a + lo_idx])
+                sums[sl] = (r_psum[a + hi_idx] - r_psum[a + lo_idx])
         res = l_[["_key", "_ts"] + lnames].copy()
         res["n_matched"] = counts
         if sum_col is not None:
