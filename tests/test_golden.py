@@ -86,6 +86,30 @@ def test_golden_containment_found(golden, cfg):
     assert n_hit >= len(cont) // 3, (n_hit, len(cont))
 
 
+def test_containment_off_is_oracle_deterministic(golden, cfg):
+    """The driver's oracle-compared config (containment_enabled=False,
+    __ray_entry__._dedup_result): on a corpus that PLANTS prefix-containment
+    pairs, the engine must emit zero containment edges and its clusters
+    must EXACTLY equal the Jaccard-only oracle components — the property
+    that makes a deterministic SQL oracle possible at all."""
+    import dataclasses
+
+    res = dedup_datasets(
+        ray.data.from_arrow(golden["turns"]),
+        dataclasses.replace(cfg, containment_enabled=False))
+    edges = res.edges.to_pandas()
+    assert not (edges["kind"] == "containment").any()
+    assert not edges["contained"].any() if "contained" in edges else True
+    oracle = golden["oracle"]
+    dup = oracle[oracle["jaccard"] >= cfg.jaccard_threshold]
+    clusters = res.clusters.to_pandas()
+    all_ids = sorted(clusters["conv_id"])
+    want = cluster_pairs(dup.reset_index(drop=True), all_ids)
+    merged = want.merge(clusters.rename(
+        columns={"cluster_id": "cluster_id_got"}), on="conv_id")
+    assert (merged["cluster_id"] == merged["cluster_id_got"]).all()
+
+
 def test_golden_skew_block_not_merged(golden):
     """Skew-block convs share only a boilerplate opening (J ~ 0.1) — they
     must NOT be clustered together, and the hot-bucket path must not have

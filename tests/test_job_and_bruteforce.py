@@ -35,6 +35,12 @@ def test_job_main_runs_and_resumes(turns_path, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["stages_ran"] == []
     assert second["clusters_rows"] == first["clusters_rows"]
+    # the WRITTEN keep_list must not accumulate rows across re-submits
+    # (write_parquet appends uuid-named files; job.py must replace the dir)
+    import pyarrow.dataset as pads
+
+    written = pads.dataset(f"{out}/keep_list").count_rows()
+    assert written == first["keep_rows"]
 
 
 def test_bruteforce_jaccard_matches_oracle(small_corpus, cfg):
