@@ -474,6 +474,76 @@ def _documents_curated(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_pii_redact(sf_dir: str):
+    """E42 PII scrub: deterministic synthetic PII is injected from doc_id
+    (the corpus text contains no emails/phones — both sides inject
+    identically, making this a fixture construction, not an op), then the
+    RE2 redaction kernel must strip it. clean_text equality is
+    position-sensitive; counts vary 0/1 by doc_id residue."""
+    import numpy as np
+    import pandas as pd
+
+    from miekki_ray.functions.util import rename
+    from miekki_ray.stages.scrub import redact_pii
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        s = pd.Series(ids).astype(str)
+        email = pd.Series(np.where(
+            ids % 3 != 0, " contact user" + s + "@example.com", ""))
+        phone = pd.Series(np.where(
+            ids % 2 == 0,
+            " call +1-555-" + pd.Series(ids % 10000).astype(str)
+            .str.zfill(4), ""))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "text": (batch["text"].reset_index(drop=True)
+                     + email + phone + "."),
+        })
+
+    out = redact_pii(ds.map_batches(inject, batch_format="pandas"))
+    return rename(out, {"text": "clean_text"}).sort("doc_id")
+
+
+def _documents_decontaminated(sf_dir: str):
+    """E43 test-set decontamination: docs with doc_id % 17 == 3 act as the
+    eval benchmark; every other doc is flagged iff it shares a word
+    8-gram with ANY benchmark doc. Exact string membership against a
+    broadcast bench gram set — deterministic, so the SQL unnest self-join
+    restates it exactly."""
+    import pyarrow as pa
+
+    from miekki_ray.stages.scrub import decontaminate
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            mask = (ids % 17 == 3) if is_bench else (ids % 17 != 3)
+            return b.filter(pa.array(mask))
+        return f
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cand = ds.map_batches(split(False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return decontaminate(cand, bench).sort("doc_id")
+
+
+def _documents_pack_bins(sf_dir: str):
+    """E44 sequence packing: global exclusive token prefix-sum in doc_id
+    order, integer-divided by the 512-token budget = training-bin id,
+    via the two-pass distributed scan (stages/packing.py). Oracle is the
+    SQL window frame it restates."""
+    from miekki_ray.stages.packing import pack_bins
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return pack_bins(ds, budget=512).sort("doc_id")
+
+
 def _containment_pairs(sf_dir: str):
     """ST3 suffix-array containment made driver-visible: all (a, b) doc
     pairs where one text is a full substring of the other, confirmed by
@@ -905,6 +975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract_stats": R.events_json_extract_stats,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_curated": _documents_curated,
+        "documents_pii_redact": _documents_pii_redact,
+        "documents_decontaminated": _documents_decontaminated,
+        "documents_pack_bins": _documents_pack_bins,
         "containment_pairs": _containment_pairs,
         "documents_partitioned_sink": _documents_partitioned_sink,
         "documents_mix_sample": R.documents_mix_sample,
@@ -1629,6 +1702,84 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # E42: same deterministic PII injection, then nested RE2
+        # regexp_replace — patterns identical to stages/scrub.py
+        "documents_pii_redact": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                        THEN ' call +1-555-'
+                             || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                     4, '0') ELSE '' END
+                     || '.' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}',
+                       '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                       )) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}'
+                       )) AS BIGINT) AS n_phones
+            FROM dirty ORDER BY doc_id
+        """,
+        # E43: word 8-grams with the str.split() whitespace class (see
+        # ngram_near_dup_pairs note); docs with < 8 words have no grams
+        "documents_decontaminated": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text,
+                         '[\s\x1c-\x1f]+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 7),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                              || ws[i+5] || ' ' || ws[i+6] || ' '
+                              || ws[i+7])) AS gram
+              FROM w WHERE len(ws) >= 8
+            ), hits AS (
+              SELECT DISTINCT c.doc_id
+              FROM g c JOIN g b ON c.gram = b.gram
+              WHERE c.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+            )
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
+            FROM documents d WHERE d.doc_id % 17 <> 3
+            ORDER BY d.doc_id
+        """,
+        # E44: the window frame the distributed prefix scan restates;
+        # token kernel identical to doc_token_counts
+        "documents_pack_bins": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                                    || chr(13) || chr(12) || chr(11)) = ''
+                          THEN 0
+                          ELSE len(string_split_regex(
+                                   trim(text, ' ' || chr(9) || chr(10)
+                                        || chr(13) || chr(12) || chr(11)),
+                                   '[ \t\n\r\f\v]+'))
+                     END AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+            FROM t ORDER BY doc_id
         """,
         "events_json_extract_stats": """
             WITH e AS (

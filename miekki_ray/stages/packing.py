@@ -1,0 +1,84 @@
+"""Sequence packing: assign documents to fixed-token-budget training bins
+by a GLOBAL running token count in doc_id order — the concat-and-chunk
+packing rule (``bin = exclusive_prefix_sum // budget``, i.e. SQL
+``SUM() OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING AND 1
+PRECEDING)``). Documents may straddle a bin boundary; the bin is where
+the document STARTS, matching the chunked-concatenation layout used for
+LM pretraining batches.
+
+Rendered as a distributed two-pass prefix scan (the classic parallel
+scan, a pattern no other stage in this repo needs): pass A computes
+per-range-partition token totals — P tiny rows to the driver, which
+exclusive-scans them into offsets — and pass B re-derives the SAME
+deterministic range partitions and finishes the cumsum locally with its
+partition's offset. Only (doc_id, n_tokens) — 16 bytes/row — crosses
+either exchange; text is read once in the counting map and dropped
+immediately. The materialize() holds the slim id/count table only,
+never text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from miekki_ray.functions.textstats import whitespace_token_count
+
+
+def pack_bins(docs: ray.data.Dataset, *, budget: int = 2048,
+              id_col: str = "doc_id", text_col: str = "text",
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """Returns (id_col, n_tokens:int64, bin:int64). Token counting uses
+    the ASCII-whitespace kernel shared with doc_token_counts, so the
+    oracle can restate it with the same string_split_regex class."""
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype=np.int64),
+            "n_tokens": whitespace_token_count(batch[text_col]),
+        })
+
+    slim = docs.map_batches(count_tokens,
+                            batch_format="pandas").materialize()
+    if slim.count() == 0:
+        return slim.map_batches(
+            lambda b: b.assign(bin=np.empty(0, dtype=np.int64)),
+            batch_format="pandas")
+
+    bounds = slim.aggregate(Min(id_col), Max(id_col))
+    lo = int(bounds[f"min({id_col})"])
+    span = int(bounds[f"max({id_col})"]) - lo + 1
+    P = max(1, min(num_partitions, span))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        # deterministic RANGE partitions: prefix-scan needs ordered
+        # contiguity, so the tag must be monotone in doc_id (a hash
+        # partition would interleave ranges)
+        return batch.assign(_p=((ids - lo) * P // span).astype(np.int32))
+
+    tagged = slim.map_batches(tag, batch_format="pandas")
+
+    # pass A: per-partition totals -> driver exclusive scan (P rows)
+    totals = (tagged.groupby("_p")
+              .aggregate(Sum("n_tokens", alias_name="tok"))
+              .to_pandas().sort_values("_p"))
+    toks = totals["tok"].to_numpy(dtype=np.int64)
+    offsets = dict(zip(
+        totals["_p"].astype(int),
+        np.concatenate([[0], np.cumsum(toks)[:-1]])))
+
+    # pass B: same tags, local cumsum + broadcast offset (tiny dict,
+    # ships in the task closure once)
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort")
+        t = g["n_tokens"].to_numpy(dtype=np.int64)
+        start = offsets[int(g["_p"].iloc[0])] + np.cumsum(t) - t
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tokens": t,
+            "bin": start // np.int64(budget),
+        })
+
+    return tagged.groupby("_p").map_groups(assign, batch_format="pandas")
