@@ -517,7 +517,10 @@ def _documents_decontaminated(sf_dir: str):
 
     from miekki_ray.stages.scrub import decontaminate
 
-    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    # materialize the slim 2-col projection once: the bench branch is
+    # driven eagerly by the driver-side gram collection and would
+    # otherwise re-execute the read lineage for the candidate branch
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def split(is_bench: bool):
         def f(b: pa.Table) -> pa.Table:
@@ -1093,9 +1096,10 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS dedup_ratio
             FROM comp
         """,
-        # word-trigram Jaccard; the split class mirrors Python str.split(),
-        # which (unlike RE2 \\s) also treats FS/GS/RS/US 0x1c-0x1f as
-        # whitespace — the adapter doc embeds chr(31) as the role separator
+        # word-trigram Jaccard; split class = the complement of
+        # textstats.TOKEN_SPLIT_RE (RE2 \s ∪ FS/GS/RS/US 0x1c-0x1f — the
+        # adapter doc embeds chr(31) as the role separator), the pinned
+        # tokenizer ngram._stable_word_hashes uses
         "ngram_near_dup_pairs": r"""
             WITH d AS (
               SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS conv_id,
@@ -1733,8 +1737,8 @@ def oracle_sql() -> dict[str, str]:
                        )) AS BIGINT) AS n_phones
             FROM dirty ORDER BY doc_id
         """,
-        # E43: word 8-grams with the str.split() whitespace class (see
-        # ngram_near_dup_pairs note); docs with < 8 words have no grams
+        # E43: word 8-grams with the pinned TOKEN_SPLIT_RE tokenizer class
+        # (see ngram_near_dup_pairs note); docs with < 8 words have no grams
         "documents_decontaminated": r"""
             WITH w AS (
               SELECT doc_id,

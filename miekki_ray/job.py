@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -66,12 +67,15 @@ def main(argv: list[str] | None = None) -> int:
     keep = keep_list(res)
     # Ray's write_parquet APPENDS uuid-named files to an existing dir; on
     # re-submit (the resume flow) that would double every keep row. The
-    # keep_list is a final output, not a checkpoint — replace it wholesale.
+    # keep_list is a final output, not a checkpoint — replace it wholesale
+    # on ANY filesystem (the cluster flow writes to object storage URIs).
     keep_dir = f"{args.out}/keep_list"
-    if "://" not in keep_dir:
-        import shutil
+    from pyarrow import fs as pafs
 
-        shutil.rmtree(keep_dir, ignore_errors=True)
+    fsys, path = pafs.FileSystem.from_uri(keep_dir) if "://" in keep_dir \
+        else (pafs.LocalFileSystem(), os.path.abspath(keep_dir))
+    if fsys.get_file_info(path).type != pafs.FileType.NotFound:
+        fsys.delete_dir(path)
     keep.write_parquet(keep_dir)
     summary = {
         "clusters_rows": n_clusters,

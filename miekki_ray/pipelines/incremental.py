@@ -19,7 +19,6 @@ matched, else the new-batch minimum conv_id.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data

@@ -9,6 +9,8 @@ separate sketcher so the two families can be compared on the same corpus.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -28,8 +30,11 @@ def _stable_word_hashes(text: str, n: int) -> np.ndarray:
     """Unique uint64 hashes of word n-grams, deterministic across processes
     (python's builtin hash() is salted per process — never use it here).
     Per-word hashing via pandas' C siphash with its fixed default key,
-    combined over the n-gram window with a golden-ratio polynomial."""
-    words = text.split()
+    combined over the n-gram window with a golden-ratio polynomial.
+    Tokenizer pinned to TOKEN_SPLIT_RE (the oracle's RE2 split class) —
+    Python str.split() is Unicode-aware and would diverge on VT/NBSP."""
+    from miekki_ray.functions.textstats import TOKEN_SPLIT_RE
+    words = re.findall(TOKEN_SPLIT_RE, text)
     if not words:
         return np.array([0], dtype=_WORD_DTYPE)
     wh = pd.util.hash_array(np.asarray(words, dtype=object))

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from miekki_ray.functions.textstats import whitespace_token_count
 
@@ -41,22 +41,27 @@ def pack_bins(docs: ray.data.Dataset, *, budget: int = 2048,
 
     slim = docs.map_batches(count_tokens,
                             batch_format="pandas").materialize()
-    if slim.count() == 0:
+    stats = slim.aggregate(Count(), Min(id_col), Max(id_col))
+    if not stats or not stats.get("count()"):
         return slim.map_batches(
             lambda b: b.assign(bin=np.empty(0, dtype=np.int64)),
             batch_format="pandas")
 
-    bounds = slim.aggregate(Min(id_col), Max(id_col))
-    lo = int(bounds[f"min({id_col})"])
-    span = int(bounds[f"max({id_col})"]) - lo + 1
-    P = max(1, min(num_partitions, span))
+    lo = float(stats[f"min({id_col})"])
+    span = float(stats[f"max({id_col})"]) - lo + 1.0
+    P = max(1, min(num_partitions, int(stats["count()"])))
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(dtype=np.int64)
         # deterministic RANGE partitions: prefix-scan needs ordered
         # contiguity, so the tag must be monotone in doc_id (a hash
-        # partition would interleave ranges)
-        return batch.assign(_p=((ids - lo) * P // span).astype(np.int32))
+        # partition would interleave ranges). Computed in float64 —
+        # integer (ids - lo) * P overflows int64 on wide/sparse id
+        # spaces; float is monotone and only coarsens ties, which the
+        # within-partition sort absorbs.
+        p = (ids.astype(np.float64) - lo) * P / span
+        return batch.assign(
+            _p=np.clip(p.astype(np.int64), 0, P - 1).astype(np.int32))
 
     tagged = slim.map_batches(tag, batch_format="pandas")
 

@@ -56,11 +56,14 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text"
 def _batch_grams(texts: pd.Series, n: int
                  ) -> tuple[np.ndarray, np.ndarray]:
     """(row_position, gram_string) for every word n-gram in the batch.
-    Rows with fewer than n words contribute none. Word split is Python
-    ``str.split()`` (Unicode whitespace + 0x1c-0x1f), mirrored by the
-    oracle's ``[\\s\\x1c-\\x1f]+`` regexp class — the same tokenizer
-    parity contract as stages/ngram.py."""
-    words = texts.fillna("").reset_index(drop=True).str.split()
+    Rows with fewer than n words contribute none. Tokenizer pinned to
+    ``TOKEN_SPLIT_RE`` — the complement of the oracle's RE2 split class
+    ``[\\s\\x1c-\\x1f]+`` (RE2 ``\\s`` is ASCII-only; Python
+    ``str.split()`` would diverge on VT/NBSP/Unicode spaces)."""
+    from miekki_ray.functions.textstats import TOKEN_SPLIT_RE
+
+    words = (texts.fillna("").reset_index(drop=True)
+             .str.findall(TOKEN_SPLIT_RE))
     ex = words.explode().dropna()
     if len(ex) < n:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=object))

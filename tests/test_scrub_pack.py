@@ -52,6 +52,47 @@ def test_decontaminate_planted():
     assert out["contaminated"].tolist() == [True, False, False, False]
 
 
+def test_batch_grams_pinned_tokenizer():
+    """VT (\\x0b) is whitespace to Python str.split() but NOT to the
+    pinned TOKEN_SPLIT_RE class (RE2 \\s is ASCII [\\t\\n\\f\\r ]) —
+    the gram kernel must follow the pinned class or the DuckDB oracle
+    diverges."""
+    from miekki_ray.stages.scrub import _batch_grams
+
+    idx, grams = _batch_grams(pd.Series(["a\x0bb c d e f g h i"]), 8)
+    assert list(grams) == ["a\x0bb c d e f g h i"]
+    assert idx.tolist() == [0]
+
+
+def test_ngram_tokenizer_pinned():
+    """Same pin for the word-n-gram dedup kernel: 'a\\x0bb' is ONE word."""
+    from miekki_ray.stages.ngram import ngram_jaccard
+
+    assert ngram_jaccard("a\x0bb", "a\x0bb") == 1.0
+    # str.split() would tokenize both sides to ['a', 'b'] and call them
+    # identical; the pinned class keeps them distinct
+    assert ngram_jaccard("a\x0bb", "a b") < 1.0
+
+
+def test_pack_bins_wide_id_space():
+    """Range tags must stay monotone on id spaces where integer
+    (ids - lo) * P overflows int64."""
+    from miekki_ray.stages.packing import pack_bins
+
+    ids = np.array([0, 2 ** 62, 2 ** 63 - 1], dtype=np.int64)
+    toks = np.array([5, 7, 11])
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "text": [" ".join(["w"] * int(t)) for t in toks],
+    })
+    out = (pack_bins(ray.data.from_pandas(df), budget=10,
+                     num_partitions=16)
+           .to_pandas().sort_values("doc_id"))
+    excl = np.cumsum(toks) - toks
+    assert out["doc_id"].tolist() == ids.tolist()
+    assert out["bin"].tolist() == (excl // 10).tolist()
+
+
 def test_pack_bins_matches_serial_scan():
     from miekki_ray.stages.packing import pack_bins
 
