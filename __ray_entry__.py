@@ -469,7 +469,7 @@ def _documents_curated(sf_dir: str):
     from miekki_ray.pipelines.curate import curate_documents
 
     docs = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
-    return (curate_documents(docs)
+    return (curate_documents(docs, num_partitions=_cfg().num_partitions)
             .select_columns(["doc_id", "n_chars", "n_words", "alpha_ratio"])
             .sort("doc_id"))
 

@@ -38,7 +38,14 @@ def _bench_corpus() -> str:
     ONCE into BENCH/data and reused across runs/parallelism levels."""
     path = os.path.join(BENCH_DATA, f"turns_{BENCH_CONVS}")
     if not os.path.isdir(path):
-        os.makedirs(path, exist_ok=True)
+        # generate into a tmp dir and rename INTO PLACE atomically: an
+        # interrupted generation must not leave a partial corpus that
+        # later runs silently benchmark as if complete
+        tmp = path + ".generating"
+        if os.path.isdir(tmp):
+            import shutil
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
         from miekki_ray.synth import synth_transcripts
         import pyarrow.parquet as pq
         turns, _ = synth_transcripts(BENCH_CONVS, 42)
@@ -49,8 +56,9 @@ def _bench_corpus() -> str:
         step = (rows + n_files - 1) // n_files
         for i in range(n_files):
             pq.write_table(turns.slice(i * step, step),
-                           os.path.join(path, f"part-{i:04d}.parquet"),
+                           os.path.join(tmp, f"part-{i:04d}.parquet"),
                            row_group_size=50_000)
+        os.rename(tmp, path)
     return path
 
 

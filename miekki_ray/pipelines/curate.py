@@ -32,7 +32,9 @@ def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
     n_chars, n_words, alpha_ratio) for survivors."""
     from miekki_ray.functions.textstats import quality_scores
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
+    from miekki_ray.functions.util import pa_from_pandas
+
+    def score(batch: pd.DataFrame) -> pa.Table:
         q = quality_scores(batch["text"])
         out = pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
@@ -43,7 +45,9 @@ def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
         })
         keep = (out["n_words"].to_numpy() >= min_words) & \
                (out["alpha_ratio"].to_numpy() >= min_alpha_ratio)
-        return out[keep]
+        # clean Arrow out: pandas-backed blocks defeat the downstream
+        # shuffle's schema-dedup (see util.pa_from_pandas)
+        return pa_from_pandas(out[keep])
 
     return docs.map_batches(score, batch_format="pandas")
 
@@ -58,21 +62,28 @@ def keep_first_exact(scored: ray.data.Dataset,
     docs the birthday bound makes 64-bit collisions certain; the hash is
     a partitioner here, not an identity). Text crosses the exchange once
     — the same cost contract as the flagship's doc shuffle."""
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        from miekki_ray.functions.util import str_part
+    from miekki_ray.functions.util import pa_from_pandas, str_part
 
-        return batch.assign(_p=str_part(batch["text"], num_partitions))
+    def add_part(batch: pd.DataFrame) -> pa.Table:
+        return pa_from_pandas(
+            batch.assign(_p=str_part(batch["text"], num_partitions)))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+    def keep_first(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values("doc_id", kind="mergesort")
-        return g.drop_duplicates("text").drop(columns=["_p"])
+        return pa_from_pandas(
+            g.drop_duplicates("text").drop(columns=["_p"]))
 
     return (scored.map_batches(add_part, batch_format="pandas")
             .groupby("_p").map_groups(keep_first, batch_format="pandas"))
 
 
 def curate_documents(docs: ray.data.Dataset, *, min_words: int = 40,
-                     min_alpha_ratio: float = 0.8) -> ray.data.Dataset:
-    """quality_filter → keep_first_exact; see module docstring."""
-    return keep_first_exact(quality_filter(
-        docs, min_words=min_words, min_alpha_ratio=min_alpha_ratio))
+                     min_alpha_ratio: float = 0.8,
+                     num_partitions: int = 16) -> ray.data.Dataset:
+    """quality_filter → keep_first_exact; see module docstring.
+    ``num_partitions`` sizes the pipeline's ONE grouped exchange — size it
+    like any shuffle width (~4x the executor count)."""
+    return keep_first_exact(
+        quality_filter(docs, min_words=min_words,
+                       min_alpha_ratio=min_alpha_ratio),
+        num_partitions=num_partitions)

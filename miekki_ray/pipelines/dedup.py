@@ -14,6 +14,7 @@ lineage manifest and resumes past valid stages (SURVEY.md §3.3).
 
 from __future__ import annotations
 
+import weakref
 from dataclasses import dataclass, field
 
 import ray.data
@@ -42,6 +43,13 @@ class DedupResult:
     verified: ray.data.Dataset       # full verify output incl. rejected pairs
     docs: ray.data.Dataset           # reconstructed docs (all convs)
     metrics: dict = field(default_factory=dict)
+
+
+# per-object checkpoint nonces for in-memory Dataset inputs (see run_dedup);
+# weak keys so a collected Dataset can never bequeath its nonce to a new
+# object reusing its address
+_DS_NONCE: "weakref.WeakKeyDictionary[ray.data.Dataset, str]" = \
+    weakref.WeakKeyDictionary()
 
 
 def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
@@ -171,9 +179,20 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     from miekki_ray.state.manifest import StageRunner, input_fingerprint
     r = StageRunner(out_dir, cfg.config_hash())
     # root-stage input identity: a different corpus at the same out_dir+cfg
-    # must invalidate the docs checkpoint (and transitively everything)
-    in_fp = (input_fingerprint(turns_path)
-             if not isinstance(turns_path, ray.data.Dataset) else None)
+    # must invalidate the docs checkpoint (and transitively everything).
+    # An in-memory Dataset has no content identity to fingerprint, so it
+    # gets a nonce keyed on OBJECT identity (weak registry): re-running the
+    # SAME immutable Dataset resumes, any other Dataset — including the
+    # same corpus rebuilt in a new process — recomputes. A None fingerprint
+    # would silently resurrect a previous corpus's results.
+    if isinstance(turns_path, ray.data.Dataset):
+        in_fp = _DS_NONCE.get(turns_path)
+        if in_fp is None:
+            import os as _os
+            in_fp = "dataset-nonce:" + _os.urandom(8).hex()
+            _DS_NONCE[turns_path] = in_fp
+    else:
+        in_fp = input_fingerprint(turns_path)
     docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
                          input_fp=in_fp)
     # exact_dedup's doc_hash shuffle runs ONCE even though its two outputs

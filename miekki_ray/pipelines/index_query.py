@@ -67,13 +67,17 @@ def _emit_cross_pairs(cfg: DedupConfig):
             # the tight prefix cap, mirroring candidates._emit_pairs_partition
             cap = prefix_cap if pband[s] else pair_cap
             n_cross = q_ids.size * i_ids.size
-            qi, ii = np.meshgrid(np.arange(q_ids.size),
-                                 np.arange(i_ids.size), indexing="ij")
-            qi, ii = qi.ravel(), ii.ravel()
             if n_cross > cap:
+                # sample flat indices FIRST, then divmod — materializing
+                # the full cross product before capping would allocate
+                # O(n_cross) arrays (GBs for a salted mega-bucket) to keep
+                # only `cap` rows
                 rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
                 pick = rng.choice(n_cross, size=cap, replace=False)
-                qi, ii = qi[pick], ii[pick]
+                qi, ii = np.divmod(pick, i_ids.size)
+            else:
+                qi = np.repeat(np.arange(q_ids.size), i_ids.size)
+                ii = np.tile(np.arange(i_ids.size), q_ids.size)
             out_q.append(q_ids[qi])
             out_i.append(i_ids[ii])
         if not out_q:
@@ -123,10 +127,12 @@ def match_query_vs_index(query_turns: ray.data.Dataset,
     else:
         # queries join on 'a' against query docs, 'b' against index docs
         from miekki_ray.functions.util import ensure_schema
+        from miekki_ray.stages.verify import join_width
         slim_q = q_docs.select_columns(["conv_id", "doc"])
         slim_i = i_docs.select_columns(["conv_id", "doc"])
-        n_p = pairs.count()
-        pj = 1 if n_p < 4000 else min(P, n_p // 2000)
+        # the shared measured join-width policy (verify.join_width) —
+        # a hand-rolled copy here had already drifted from its tuning
+        pj = join_width(cfg, pairs.count())
         j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                                ("n_bands", pa.int32()),
                                ("doc_a", pa.large_string())])

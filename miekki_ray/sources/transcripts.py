@@ -71,20 +71,39 @@ def read_transcripts(path: str | list[str],
                      override_num_blocks: int | None = None
                      ) -> ray.data.Dataset:
     """Operator S1: read the turns table, projecting exactly the six spec
-    columns. Schema is asserted lazily by assert_turns_schema (stage
-    boundaries carry explicit schemas — SURVEY.md §1.3)."""
-    return strip_schema_metadata(ray.data.read_parquet(
+    columns and asserting the spec schema (names + types) from the parquet
+    footer — metadata-only, no execution (SURVEY.md §1.3)."""
+    raw = ray.data.read_parquet(
         path, columns=TURN_COLUMNS, override_num_blocks=override_num_blocks,
         schema=clean_read_schema(path, TURN_COLUMNS),
-    ))
+    )
+    # assert BEFORE the metadata-strip map: a read dataset's schema() is
+    # footer metadata only, while schema() after a map may execute a block
+    return strip_schema_metadata(assert_schema(raw, TURNS_SCHEMA))
 
 
-def assert_schema(ds: ray.data.Dataset, expected: pa.Schema) -> ray.data.Dataset:
-    """Cheap schema assertion at a stage boundary (names + types; allows
-    string/large_string interchange, which Arrow readers produce freely)."""
-    got = ds.schema()
-    names = list(got.names)
-    exp_names = list(expected.names)
-    if names != exp_names:
-        raise ValueError(f"schema mismatch: columns {names} != {exp_names}")
+def assert_schema(ds: ray.data.Dataset, expected: pa.Schema
+                  ) -> ray.data.Dataset:
+    """Cheap schema assertion at a stage boundary: column names AND types
+    must match, except string/large_string interchange (Arrow readers
+    produce either freely) and timestamp timezone annotations. Metadata-
+    only on a freshly-read dataset — does not trigger execution."""
+    got = ds.schema().base_schema
+    if list(got.names) != list(expected.names):
+        raise ValueError(
+            f"schema mismatch: columns {list(got.names)} != "
+            f"{list(expected.names)}")
+
+    def _norm(t: pa.DataType) -> pa.DataType:
+        if pa.types.is_large_string(t):
+            return pa.string()
+        if pa.types.is_timestamp(t):
+            return pa.timestamp(t.unit)
+        return t
+
+    for name in expected.names:
+        g, e = _norm(got.field(name).type), _norm(expected.field(name).type)
+        if g != e:
+            raise ValueError(
+                f"schema mismatch: column {name!r} is {g}, expected {e}")
     return ds

@@ -101,6 +101,25 @@ def salt_hot_buckets(band_rows: ray.data.Dataset, hot_keys: np.ndarray,
                                  zero_copy_batch=True)
 
 
+def _triu_unrank(k: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized unranking of row-major upper-triangle pair ranks
+    (i < j, rank = T(i) + j - i - 1 with T(i) = i*(2m-i-1)//2) — lets a
+    capped mega-bucket sample `cap` pairs WITHOUT materializing the full
+    O(m^2) triu index arrays first."""
+    i = np.floor(((2 * m - 1)
+                  - np.sqrt((2.0 * m - 1) ** 2 - 8.0 * k)) / 2.0) \
+        .astype(np.int64)
+
+    def T(r):
+        return r * (2 * m - r - 1) // 2
+
+    # one-step float-edge correction on each side
+    i = np.where(T(i + 1) <= k, i + 1, i)
+    i = np.where(T(i) > k, i - 1, i)
+    j = k - T(i) + i + 1
+    return i, j
+
+
 def _emit_pairs_partition(cfg: DedupConfig, metrics_name: str | None = None):
     pair_cap = cfg.pair_cap
     prefix_cap = cfg.prefix_pair_cap
@@ -137,13 +156,17 @@ def _emit_pairs_partition(cfg: DedupConfig, metrics_name: str | None = None):
                 continue
             cap = prefix_cap if pband[s] else pair_cap
             n_pairs = m * (m - 1) // 2
-            ii, jj = np.triu_indices(m, k=1)
             if n_pairs > cap:
+                # sample ranks FIRST (Floyd's algorithm: O(cap) memory),
+                # then unrank analytically — triu_indices before capping
+                # would allocate O(m^2) for a salted mega-bucket
                 rng = np.random.default_rng(int(keys[s]) & 0x7FFFFFFF)
                 pick = rng.choice(n_pairs, size=cap, replace=False)
-                ii, jj = ii[pick], jj[pick]
+                ii, jj = _triu_unrank(pick, m)
                 n_capped_buckets += 1
                 n_pairs_dropped += n_pairs - cap
+            else:
+                ii, jj = np.triu_indices(m, k=1)
             out_a.append(members[ii])
             out_b.append(members[jj])
         if n_capped_buckets:

@@ -40,36 +40,45 @@ def empty_verified() -> ray.data.Dataset:
     return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
 
 
-def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
-                cfg: DedupConfig,
-                n_pairs: int | None = None) -> ray.data.Dataset:
-    """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
-    Shuffle #4: hash join on a, then on b."""
+def join_width(cfg: DedupConfig, n_pairs: int | None) -> int:
+    """THE pairs⨝docs join-width policy, shared by every caller (flagship
+    attach_docs, query-vs-index) so the measured tuning below can never
+    drift between copies.
+
+    Each join partition spins up a shuffle-aggregator actor; for small
+    candidate sets that startup dominates. ONE partition when the pair
+    set is tiny — ray's join finalize chokes on a partition that
+    receives zero left blocks [env], and P=1 can never have one.
+    Measured on the full verify chain (250k-conv corpus, 116k pairs,
+    1 GB docs, 32 cpus): width 32 -> 41 s, width 8/16 -> 15-17 s.
+    Two opposing forces: each extra partition pays aggregator-actor
+    startup, but MORE partitions feed the downstream streaming
+    verifier sooner. Floor 8, growing with pair volume up to the
+    configured shuffle width.
+    The floor is also capped by the session's CPU count: each join
+    partition is a shuffle-aggregator ACTOR, and a pool wider than
+    the session (e.g. 16 actors on a 2-cpu session) timeshares one
+    core each and crawls [measured: 2-cpu leg stuck at load 1.0]."""
     import os
 
-    from miekki_ray.functions.util import ensure_schema, rename
-    slim = docs.select_columns(["conv_id", "doc"])
     P = cfg.num_partitions
     if n_pairs is not None:
-        # each join partition spins up a shuffle-aggregator actor; for small
-        # candidate sets that startup dominates. ONE partition when the pair
-        # set is tiny — ray's join finalize chokes on a partition that
-        # receives zero left blocks [env], and P=1 can never have one.
-        # Measured on the full verify chain (250k-conv corpus, 116k pairs,
-        # 1 GB docs, 32 cpus): width 32 -> 41 s, width 8/16 -> 15-17 s.
-        # Two opposing forces: each extra partition pays aggregator-actor
-        # startup, but MORE partitions feed the downstream streaming
-        # verifier sooner. Floor 8, growing with pair volume up to the
-        # configured shuffle width.
-        # the floor is also capped by the session's CPU count: each join
-        # partition is a shuffle-aggregator ACTOR, and a pool wider than
-        # the session (e.g. 16 actors on a 2-cpu session) timeshares one
-        # core each and crawls [measured: 2-cpu leg stuck at load 1.0]
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         floor = max(2, min(8, ncpu))
         P = 1 if n_pairs < 20000 else min(P, max(floor, n_pairs // 50000))
     if os.environ.get("MIEKKI_ATTACH_WIDTH"):
         P = int(os.environ["MIEKKI_ATTACH_WIDTH"])
+    return P
+
+
+def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                cfg: DedupConfig,
+                n_pairs: int | None = None) -> ray.data.Dataset:
+    """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
+    Shuffle #4: hash join on a, then on b."""
+    from miekki_ray.functions.util import ensure_schema, rename
+    slim = docs.select_columns(["conv_id", "doc"])
+    P = join_width(cfg, n_pairs)
     j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                            ("n_bands", pa.int32()),
                            ("doc_a", pa.large_string())])

@@ -106,10 +106,12 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
     Returns the stage directory."""
     stage_dir = os.path.join(out_dir, stage)
     os.makedirs(stage_dir, exist_ok=True)
-    # clear any previous attempt's data AND manifest: write_parquet appends
-    # part files, and a stale manifest must not validate the mixed output
+    # clear any previous attempt's data AND manifest AND orphaned manifest
+    # tmp files (a crash between mkstemp and os.replace leaves one):
+    # write_parquet appends part files, and a stale manifest must not
+    # validate the mixed output
     for f in os.listdir(stage_dir):
-        if f.endswith(".parquet") or f == MANIFEST_NAME:
+        if f.endswith((".parquet", ".tmp")) or f == MANIFEST_NAME:
             os.unlink(os.path.join(stage_dir, f))
     ds.write_parquet(stage_dir)
     # per-partition lineage: row count per written file
@@ -139,7 +141,11 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
 
 
 def read_stage(stage_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(stage_dir)
+    # file_extensions filter: a leftover manifest tmp file (crash between
+    # mkstemp and os.replace above) or any stray non-parquet file would
+    # otherwise make read_parquet raise on every later resume; also
+    # tolerates a legitimately EMPTY stage output (zero part files)
+    return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
 
 
 def read_manifest(stage_dir: str) -> dict:

@@ -98,6 +98,59 @@ def test_upstream_change_invalidates(tmp_path):
     assert len(calls) == 2
 
 
+def test_leftover_manifest_tmp_does_not_poison_stage(tmp_path):
+    """A crash between mkstemp and os.replace leaves a *.tmp file in the
+    stage dir; read_stage must still read (explicit parquet file list) and
+    the next write_stage must clean it up."""
+    d = write_stage(_ds(), str(tmp_path), "s1", "cfg123")
+    with open(os.path.join(d, "tmpcrashed.tmp"), "w") as f:
+        f.write("not parquet")
+    from miekki_ray.state.manifest import read_stage
+    assert read_stage(d).count() == 10          # tmp file ignored
+    write_stage(_ds(7), str(tmp_path), "s1", "cfg123")
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    assert read_stage(d).count() == 7
+
+
+def test_dataset_input_never_reuses_other_datasets_checkpoint(
+        small_corpus, cfg, tmp_path):
+    """A DIFFERENT in-memory Dataset at the same out_dir+cfg must NOT
+    resurrect the previous corpus's checkpoints (object-identity nonce)."""
+    from miekki_ray.pipelines.dedup import run_dedup
+
+    turns, _ = small_corpus
+    ds_a = ray.data.from_arrow(turns)
+    out = str(tmp_path / "run")
+    r1 = run_dedup(ds_a, cfg, out_dir=out)
+    n_a = r1.clusters.count()
+    # a different corpus (half the rows), same out_dir + config
+    ds_b = ray.data.from_arrow(turns.slice(0, turns.num_rows // 2))
+    r2 = run_dedup(ds_b, cfg, out_dir=out)
+    assert "docs" in r2.metrics["ran"]
+    assert r2.clusters.count() != n_a
+
+
+def test_read_transcripts_asserts_types(tmp_path):
+    """Wrong column TYPE (not just name) must fail the read contract."""
+    import pyarrow.parquet as pq
+
+    from miekki_ray.sources.transcripts import read_transcripts
+
+    bad = pa.table({
+        "conv_id": pa.array(["c1"], type=pa.string()),
+        "turn_idx": pa.array([1], type=pa.int64()),   # spec says int32
+        "role": pa.array(["u"], type=pa.string()),
+        "text": pa.array(["hi"], type=pa.string()),
+        "tool": pa.array([""], type=pa.string()),
+        "ts": pa.array([0], type=pa.timestamp("us")),
+    })
+    p = str(tmp_path / "bad")
+    os.makedirs(p)
+    pq.write_table(bad, os.path.join(p, "part-0.parquet"))
+    with pytest.raises(ValueError, match="turn_idx"):
+        read_transcripts(p)
+
+
 def test_end_to_end_resume_identical(small_corpus, cfg, tmp_path):
     """SURVEY §5.5: run, wipe one stage's manifest, re-run → final output
     byte-identical; valid stages skipped."""

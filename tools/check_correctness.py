@@ -77,6 +77,13 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            # a typo'd name must not yield a green '0 failures' gate in
+            # which nothing actually ran
+            print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+            return 2
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
