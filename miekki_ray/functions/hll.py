@@ -25,8 +25,12 @@ U64 = np.uint64
 
 
 def _key_hashes(col) -> np.ndarray:
-    """Stable 64-bit hashes for an Arrow/pandas column of any dtype."""
+    """Stable 64-bit hashes for an Arrow/pandas column of any dtype.
+    NULLS ARE DROPPED, matching SQL COUNT(DISTINCT): astype(str) would
+    otherwise count null as the literal string 'None' — one spurious
+    distinct value that also collides with real 'None' text."""
     s = col.to_pandas() if hasattr(col, "to_pandas") else pd.Series(col)
+    s = s.dropna()
     if pd.api.types.is_integer_dtype(s):
         return splitmix64(s.to_numpy(dtype=np.int64).view(U64))
     h = pd.util.hash_pandas_object(s.astype(str), index=False) \

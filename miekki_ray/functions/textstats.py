@@ -55,13 +55,6 @@ def whitespace_token_count(texts: pd.Series) -> np.ndarray:
     return n
 
 
-def _round6_half_away(x: np.ndarray) -> np.ndarray:
-    """Round to 6 decimals, halves AWAY from zero (DuckDB's round rule;
-    np.round is banker's and differs on exact .5 boundaries, which these
-    small-denominator rationals actually hit). All inputs here are >= 0."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
-
-
 def quality_scores(texts: pd.Series) -> pd.DataFrame:
     """Heuristic quality features: length, alpha ratio, punct ratio,
     stopword ratio (en), mean word length, all-caps ratio. Float ratios are
@@ -94,11 +87,11 @@ def quality_scores(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({
         "n_chars": n_chars,
         "n_words": n_words,
-        "alpha_ratio": _round6_half_away(n_alpha / safe),
-        "punct_ratio": _round6_half_away(n_punct / safe),
-        "upper_ratio": _round6_half_away(n_upper / safe),
-        "stopword_ratio": _round6_half_away(n_stop / safe_w),
-        "mean_word_len": _round6_half_away(mean_wlen),
+        "alpha_ratio": round_half_away(n_alpha / safe),
+        "punct_ratio": round_half_away(n_punct / safe),
+        "upper_ratio": round_half_away(n_upper / safe),
+        "stopword_ratio": round_half_away(n_stop / safe_w),
+        "mean_word_len": round_half_away(mean_wlen),
     })
 
 

@@ -43,6 +43,24 @@ def add_str_part(col: str, P: int):
     return f
 
 
+_PD_INT = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
+def pandas_nullable_ints(tbl: pa.Table) -> pd.DataFrame:
+    """Arrow -> pandas keeping integer columns as MASKED nullable ints
+    (Int64 etc.). The default conversion turns an int column containing
+    nulls into float64, which (a) makes a later astype('int64') crash on
+    a legitimately-null value and (b) silently corrupts int64 values
+    above 2^53 — both real cases for side-tagged union frames where the
+    other side carries typed nulls (asof / range join)."""
+    return tbl.to_pandas(types_mapper=_PD_INT.get)
+
+
 def pa_from_pandas(df: pd.DataFrame) -> pa.Table:
     """pandas -> metadata-free Arrow table for UDF returns. Pandas-backed
     blocks carry a PandasBlockSchema (unhashable: contains lists) and

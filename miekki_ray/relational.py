@@ -1093,7 +1093,7 @@ def documents_repetition(sf_dir: str, k: int = 12):
     map, no shuffle; per-doc numpy unique inside the batch loop (same
     scope as the fingerprint kernel)."""
     from miekki_ray.functions.hashing import shingle_hashes_ordered
-    from miekki_ray.functions.textstats import _round6_half_away
+    from miekki_ray.functions.textstats import round_half_away
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -1113,7 +1113,7 @@ def documents_repetition(sf_dir: str, k: int = 12):
             "doc_id": batch["doc_id"].astype("int64"),
             "n_shingles": tot,
             "n_distinct": dis,
-            "rep_ratio": _round6_half_away(
+            "rep_ratio": round_half_away(
                 1.0 - dis / np.maximum(tot, 1)),
         })
 

@@ -43,10 +43,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     (left rows with no qualifying right row are dropped)."""
     P = num_partitions
     lnames, rnames = list(left_cols), list(right_cols)
-    # integer payloads pass through pandas (which turns nullable ints into
-    # float64) — restore their declared type on the way out
-    int_out = [c for cs in (left_cols, right_cols) for c, t in cs.items()
-               if pa.types.is_integer(t)]
+    out_schema = pa.schema(
+        [("_key", pa.int64()), ("_ts", pa.timestamp("us"))]
+        + [(c, t) for c, t in left_cols.items()]
+        + [(c, t) for c, t in right_cols.items()])
 
     def _tag(side: int, key_col: str, ts_col: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -70,27 +70,36 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     rt = right.map_batches(_tag(1, right_key, right_ts),
                            batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(grp: pa.Table) -> pa.Table:
+        # nullable-int-preserving conversion: the side-tagged union gives
+        # every int payload column typed nulls, and the default pandas
+        # conversion would take them through float64 (crash on a null
+        # matched payload, silent corruption above 2^53)
+        from miekki_ray.functions.util import pandas_nullable_ints
+        group = pandas_nullable_ints(grp)
         l_ = group[group["_side"] == 0]
-        out_cols = ["_key", "_ts"] + lnames + rnames
         if len(l_) == 0:
-            return group.iloc[0:0][out_cols]
+            return out_schema.empty_table()
         r_ = group[group["_side"] == 1]
         ls = l_.sort_values("_ts", kind="mergesort")[["_key", "_ts"]
                                                      + lnames]
         rs = r_.sort_values(["_ts", tie_col], kind="mergesort")[
             ["_key", "_ts"] + rnames]
+        # plain int64 keys: merge_asof's `by=` predates masked dtypes,
+        # and keys are never null
+        ls = ls.assign(_key=ls["_key"].astype("int64"))
+        rs = rs.assign(_key=rs["_key"].astype("int64"))
         # explicit match indicator: the right ts is non-null IFF matched
         # (a matched row's PAYLOAD column may be legitimately null)
         rs = rs.assign(_rmatch=rs["_ts"])
         m = pd.merge_asof(ls, rs, on="_ts", by="_key",
                           direction="backward")
         m = m.dropna(subset=["_rmatch"])
-        for c in int_out:
-            m[c] = m[c].astype("int64")
-        return m[out_cols]
+        return pa.Table.from_pandas(
+            m[list(out_schema.names)], preserve_index=False) \
+            .cast(out_schema).replace_schema_metadata(None)
 
     out = (lt.union(rt)
-           .groupby("_part").map_groups(merge, batch_format="pandas"))
+           .groupby("_part").map_groups(merge, batch_format="pyarrow"))
     from miekki_ray.functions.util import rename
     return rename(out, {"_key": key, "_ts": left_ts})

@@ -34,11 +34,14 @@ def kmeans_fit_predict(embeddings: ray.data.Dataset, *, k: int = 16,
     centroids (k, d)). Deterministic for a fixed seed."""
     sample = embeddings.limit(init_sample).to_pandas()
     if len(sample) == 0:   # empty corpus: schema-correct empty result
-        empty = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
-                              "cluster": pd.Series([], dtype=np.int32),
-                              **{c: pd.Series([], dtype=object)
-                                 for c in extra_cols}})
-        return ray.data.from_pandas(empty), np.zeros((0, 0))
+        # real column types from the input schema (object-typed columns
+        # would fail a later union/join against typed data); centroids are
+        # (0, 0) — the embedding dim is unknowable from an empty corpus
+        sch = embeddings.schema().base_schema
+        empty = pa.schema(
+            [(id_col, sch.field(id_col).type), ("cluster", pa.int32())]
+            + [(c, sch.field(c).type) for c in extra_cols]).empty_table()
+        return ray.data.from_arrow(empty), np.zeros((0, 0))
     sm = _normalize(np.stack(
         sample[vec_col].map(np.asarray).to_list()).astype(np.float64))
     cent = _kmeans_fit(sm, k, seed)  # sample-seeded start

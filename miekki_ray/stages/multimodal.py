@@ -180,7 +180,8 @@ def sample_frames(media: ray.data.Dataset, every_n: int = 4,
         })
 
     return media.map_batches(f, batch_format="pyarrow",
-                             zero_copy_batch=True, batch_size=batch_size)
+                             zero_copy_batch=True, batch_size=batch_size,
+                             concurrency=concurrency)
 
 
 def media_meta_stats(media: ray.data.Dataset) -> ray.data.Dataset:

@@ -67,7 +67,12 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset, *,
     out_cols = ["_key", "_ts"] + lnames + ["n_matched"] \
         + (["sum_matched"] if sum_col is not None else [])
 
-    def agg(group: pd.DataFrame) -> pd.DataFrame:
+    def agg(grp: pa.Table) -> pa.Table:
+        # nullable-int-preserving conversion (see asof.merge): int payload
+        # values above 2^53 must not round-trip through float64
+        from miekki_ray.functions.util import pa_from_pandas, \
+            pandas_nullable_ints
+        group = pandas_nullable_ints(grp)
         l_ = group[group["_side"] == 0]
         r_ = group[group["_side"] == 1].sort_values(
             ["_key", "_ts"], kind="mergesort")
@@ -115,9 +120,9 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset, *,
             res["sum_matched"] = round_half_away(sums, 6)
         for c in int_out:
             res[c] = res[c].astype("int64")
-        return res[out_cols]
+        return pa_from_pandas(res[out_cols])
 
     out = (lt.union(rt)
-           .groupby("_part").map_groups(agg, batch_format="pandas"))
+           .groupby("_part").map_groups(agg, batch_format="pyarrow"))
     from miekki_ray.functions.util import rename
     return rename(out, {"_key": key, "_ts": left_ts})

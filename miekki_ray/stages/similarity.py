@@ -9,13 +9,14 @@ ray.put and read per actor — never re-shipped per batch (J3 idiom).
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+from miekki_ray.functions.textstats import round_half_away
 
 
 def _mat(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
@@ -136,7 +137,10 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     d = qn.shape[1]
     params = _LSHParams(d, n_planes, seed)
-    qbuckets = params.bucket(qn.astype(np.float32))
+    # same precision as the corpus-side bucketing (float64 @ float32
+    # planes): a float32 query projection could flip sign on a near-zero
+    # hyperplane dot and bucket an exact duplicate away from its query
+    qbuckets = params.bucket(qn)
     qref = ray.put((qn, qbuckets, params.planes))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -291,7 +295,8 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
         return pa.table({
             "a": pa.array(ids[bi], type=pa.int64()),
             "b": pa.array(all_ids[ci], type=pa.int64()),
-            "cosine": pa.array(np.round(s[bi, ci], 6), type=pa.float64()),
+            "cosine": pa.array(round_half_away(s[bi, ci], 6),
+                               type=pa.float64()),
         })
 
     return embeddings.map_batches(partial, batch_format="pyarrow",
@@ -340,7 +345,7 @@ def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float = 0.98,
             keep = s[ii, jj] >= threshold
             out_a.append(np.minimum(ids[ii[keep]], ids[jj[keep]]))
             out_b.append(np.maximum(ids[ii[keep]], ids[jj[keep]]))
-            out_c.append(np.round(s[ii, jj][keep], 6))
+            out_c.append(round_half_away(s[ii, jj][keep], 6))
         if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),

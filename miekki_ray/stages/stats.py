@@ -34,7 +34,10 @@ def cluster_size_histogram(clusters: ray.data.Dataset) -> pd.DataFrame:
 
 def dedup_summary(clusters: ray.data.Dataset) -> pd.DataFrame:
     """One-row summary: docs, clusters, dup docs removed, dedup ratio.
-    Distributed counts only — no driver-side per-cluster table."""
+    Distributed counts only — no driver-side per-cluster table. The input
+    is materialized once: the two counts are separate Ray actions and
+    would otherwise each re-execute the whole upstream dedup lineage."""
+    clusters = clusters.materialize()
     n_docs = clusters.count()
     n_clusters = cluster_sizes(clusters).count()
     removed = n_docs - n_clusters

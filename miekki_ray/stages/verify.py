@@ -178,7 +178,7 @@ def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
     (a, b, jaccard) with a < b. Deliberately O(n²) compare volume like
     ``embedding_pairs_exact``: use only when the hash-set table fits the
     object store; the LSH pipeline is the scale path."""
-    from miekki_ray.functions.textstats import _round6_half_away
+    from miekki_ray.functions.textstats import round_half_away
 
     thr = cfg.jaccard_threshold if threshold is None else threshold
     k = cfg.k
@@ -231,7 +231,7 @@ def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
         return pa.table({
             "a": pa.array(out_a, type=pa.string()),
             "b": pa.array(out_b, type=pa.string()),
-            "jaccard": pa.array(_round6_half_away(np.array(out_j)),
+            "jaccard": pa.array(round_half_away(np.array(out_j)),
                                 type=pa.float64()),
         })
 

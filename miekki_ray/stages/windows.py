@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from miekki_ray.functions.util import add_uint_part, str_part
+
 
 def tumbling_window_counts(events: ray.data.Dataset, window_s: int
                            ) -> ray.data.Dataset:
@@ -84,9 +86,7 @@ def rolling_window(events: ray.data.Dataset, window: int = 3,
     rounded half-away-from-zero to 6 dp."""
     from miekki_ray.functions.textstats import round_half_away
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+    add_part = add_uint_part("user_id", num_partitions)
 
     def roll(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"],
@@ -124,9 +124,7 @@ def session_windows(events: ray.data.Dataset, gap_s: int,
     vectorized pass."""
     gap_us = gap_s * 1_000_000
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+    add_part = add_uint_part("user_id", num_partitions)
 
     def sessionize(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts"], kind="mergesort")
@@ -161,9 +159,7 @@ def lag_lead(events: ray.data.Dataset,
     BY user_id ORDER BY ts, event_id). Same one-shuffle partition-by-key
     idiom as rolling_window: grouped shifts are a single vectorized pass
     per partition."""
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+    add_part = add_uint_part("user_id", num_partitions)
 
     def shifts(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"],
@@ -206,9 +202,7 @@ def running_sum(events: ray.data.Dataset,
     absorb DuckDB's segment-tree summation order."""
     from miekki_ray.functions.textstats import round_half_away
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["user_id"].to_numpy() % num_partitions).astype("int32")
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+    add_part = add_uint_part("user_id", num_partitions)
 
     def cum(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"],
@@ -245,10 +239,7 @@ def ntile_tiles(events: ray.data.Dataset, k: int = 4,
     binning; at tile-summary granularity the oracle comparison is exact
     with no FP rounding at all."""
     def add_part(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            batch["event_type"].to_pandas(), index=False
-        ).to_numpy(np.uint64)
-        part = (h % np.uint64(num_partitions)).astype("int32")
+        part = str_part(batch["event_type"].to_pandas(), num_partitions)
         return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
     def tiles(group: pd.DataFrame) -> pd.DataFrame:
