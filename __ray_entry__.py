@@ -164,6 +164,18 @@ def _embedding_near_dups(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _query_vecs(sf_dir: str, n: int = 5):
+    """First n embedding vectors as the ANN query matrix — reads ONE row
+    group via ParquetFile, never the whole table into the driver."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=n, columns=["embedding"]))
+    return np.stack([np.asarray(v, dtype=np.float32)
+                     for v in head["embedding"].to_pylist()])
+
+
 def _ann_bruteforce(sf_dir: str):
     import pyarrow.parquet as pq
     import numpy as np
@@ -172,10 +184,7 @@ def _ann_bruteforce(sf_dir: str):
     from miekki_ray.stages.similarity import brute_force_topk
 
     emb = _read_tbl(sf_dir, "embeddings")
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    q = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in head["embedding"].to_pylist()])
-    return brute_force_topk(emb, q, k=10)
+    return brute_force_topk(emb, _query_vecs(sf_dir), k=10)
 
 
 def _ann_lsh(sf_dir: str):
@@ -186,10 +195,7 @@ def _ann_lsh(sf_dir: str):
     from miekki_ray.stages.similarity import lsh_topk
 
     emb = _read_tbl(sf_dir, "embeddings")
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    q = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in head["embedding"].to_pylist()])
-    return lsh_topk(emb, q, k=10)
+    return lsh_topk(emb, _query_vecs(sf_dir), k=10)
 
 
 def _jaccard_pairs_exact(sf_dir: str):
@@ -216,10 +222,7 @@ def _ann_ivf(sf_dir: str):
     from miekki_ray.stages.similarity import ivf_topk
 
     emb = _read_tbl(sf_dir, "embeddings")
-    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    q = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in head["embedding"].to_pylist()])
-    return ivf_topk(emb, q, k=10)
+    return ivf_topk(emb, _query_vecs(sf_dir), k=10)
 
 
 def _embedding_pairs_exact(sf_dir: str):
@@ -743,18 +746,6 @@ def _events_rolling(sf_dir: str):
     return rolling_window(ev, window=3, num_partitions=16).sort("event_id")
 
 
-def _documents_top_tokens(sf_dir: str):
-    from miekki_ray import relational as R
-
-    return R.documents_top_tokens(sf_dir, k=20)
-
-
-def _documents_hash_sample(sf_dir: str):
-    from miekki_ray import relational as R
-
-    return R.documents_hash_sample(sf_dir)
-
-
 def _documents_top_tokens_approx(sf_dir: str):
     """Misra–Gries approximate top-k tokens (functions/heavyhitters.py):
     the constant-traffic mergeable-summary scale path beside the exact
@@ -819,8 +810,13 @@ def _events_sessions(sf_dir: str):
     import pandas as pd
 
     def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+        from miekki_ray.functions.textstats import round_half_away
+
         batch = batch.copy()
-        batch["sum_value"] = batch["sum_value"].round(2)
+        # round_half_away, not pandas .round (banker's): DuckDB ROUND
+        # parity on exactly-representable 2-dp ties
+        batch["sum_value"] = round_half_away(
+            batch["sum_value"].to_numpy(), 2)
         return batch
 
     return out.map_batches(rnd, batch_format="pandas") \
@@ -988,9 +984,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _embedding_kmeans,
         "nation_csv_region_join": _nation_csv_region_join,
         "events_rolling": _events_rolling,
-        "documents_top_tokens": _documents_top_tokens,
+        "documents_top_tokens": R.documents_top_tokens,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
-        "documents_hash_sample": _documents_hash_sample,
+        "documents_hash_sample": R.documents_hash_sample,
         # windows / stats (SQL-oracled)
         "events_tumbling": _events_tumbling,
         "events_hopping": _events_hopping,
@@ -1172,7 +1168,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "events_by_type": """
-            SELECT event_type, COUNT(*) AS n, SUM(value) AS sum_value,
+            SELECT event_type, COUNT(*) AS n,
+                   round(SUM(value), 2) AS sum_value,
                    MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY event_type
         """,
@@ -1181,10 +1178,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 5
         """,
         "orders_join_customer_top10": """
-            SELECT c_name, SUM(o_totalprice) AS total_spend,
-                   COUNT(*) AS n_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_name
+            -- grouped by KEY then name attached, mirroring the engine:
+            -- grouping by c_name would silently merge customers that
+            -- happen to share a name
+            SELECT c_name, total_spend, n_orders FROM (
+              SELECT o_custkey, SUM(o_totalprice) AS total_spend,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_custkey) s
+            JOIN customer ON o_custkey = c_custkey
             ORDER BY total_spend DESC, c_name ASC LIMIT 10
         """,
         "customers_without_orders": """

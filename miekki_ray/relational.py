@@ -75,11 +75,21 @@ def lineitem_agg(sf_dir: str):
 
 def events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    return (ds.groupby("event_type")
-            .aggregate(Count(alias_name="n"),
-                       Sum("value", alias_name="sum_value"),
-                       Min("value", alias_name="min_value"),
-                       Max("value", alias_name="max_value")))
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+
+    # distributed-sum reorder drift grows with corpus size (~7e-9 at
+    # sf0.1); round to cents on BOTH sides like lineitem_agg so a sum
+    # near a rounding boundary can't hash-mismatch the sequential oracle
+    def rnd(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(
+            batch["sum_value"], 2, round_mode="half_towards_infinity"))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 def part_brand_top5(sf_dir: str):
@@ -116,11 +126,14 @@ def customers_without_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
 
     def tag_orders(batch: pa.Table) -> pa.Table:
-        k = batch["o_custkey"].to_numpy()
+        # per-batch distinct (combiner): ~10 orders/customer would
+        # otherwise ship 10x the rows into the exchange for the same
+        # anti-join answer
+        k = np.unique(batch["o_custkey"].to_numpy())
         return pa.table({
-            "c_custkey": batch["o_custkey"],
-            "c_name": pa.array([None] * batch.num_rows, type=pa.string()),
-            "_is_cust": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            "c_custkey": pa.array(k, type=pa.int64()),
+            "c_name": pa.array([None] * len(k), type=pa.string()),
+            "_is_cust": pa.array(np.zeros(len(k), dtype=bool)),
             "_p": pa.array((k % P).astype(np.int32), type=pa.int32()),
         })
 
@@ -220,9 +233,16 @@ def orders_by_month(sf_dir: str):
 # ------------------------------------------------------- documents (dedup-ish)
 
 def documents_exact_keep_first(sf_dir: str):
-    """D1 on the documents table: keep min doc_id per identical text."""
+    """D1 on the documents table: keep min doc_id per identical text.
+    Grouped on the 128-bit text hash, NOT the text — the full document
+    never crosses the exchange as a shuffle key (same contract as
+    documents_dup_clusters below; collision odds ~2^-128)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return (ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+    hashed = ds.map_batches(_text_hash128, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .select_columns(["doc_id", "_h1", "_h2"])
+    return (hashed.groupby(["_h1", "_h2"])
+            .aggregate(Min("doc_id", alias_name="doc_id"))
             .select_columns(["doc_id"]).sort("doc_id"))
 
 
@@ -482,8 +502,8 @@ def events_stats_by_type(sf_dir: str):
             "event_type": b["event_type"],
             "n": n.astype(np.int64),
             "avg_value": round_half_away(mx, 6),
-            "stddev_value": np.round(sd, 6),
-            "corr_value_user": np.round(corr, 6)})
+            "stddev_value": round_half_away(sd, 6),
+            "corr_value_user": round_half_away(corr, 6)})
 
     return merged.map_batches(finalize, batch_format="pandas") \
         .sort("event_type")
@@ -587,7 +607,7 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
         tf = (t.groupby(["doc_id", "token"], as_index=False)
               .size().rename(columns={"size": "tf"}))
         m = tf.merge(dfm, on="token", how="left")
-        m["tfidf"] = np.round(
+        m["tfidf"] = round_half_away(
             m["tf"].to_numpy(dtype=np.float64)
             * np.log(float(n_docs) / m["df"].to_numpy(dtype=np.float64)),
             6)
@@ -614,7 +634,13 @@ def events_user_order_full_outer(sf_dir: str):
     e = (ev.groupby("user_id")
          .aggregate(Count(alias_name="n_events"),
                     Sum("value", alias_name="sum_value")))
-    j = e.join(cust, join_type="full_outer", num_partitions=4,
+    # the pre-aggregated side is key-cardinality sized — materialize once
+    # and width the join like verify.join_width: a partition that receives
+    # ZERO left blocks crashes Ray's join finalize [env], and P=1 can
+    # never have one
+    e = e.materialize()
+    P = 1 if e.count() < 20000 else 4
+    j = e.join(cust, join_type="full_outer", num_partitions=P,
                on=("user_id",), right_on=("c_custkey",))
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
@@ -748,9 +774,9 @@ def events_corr_by_type(sf_dir: str):
         return pd.DataFrame({
             "event_type": batch["event_type"],
             "n": batch["n"].astype("int64"),
-            "corr_v_len": np.round(cxy / np.sqrt(cx * cy), 6),
+            "corr_v_len": round_half_away(cxy / np.sqrt(cx * cy), 6),
             "covar_v_len": round_half_away(cxy / (n - 1), 6),
-            "stddev_v": np.round(np.sqrt(cx / (n - 1)), 6),
+            "stddev_v": round_half_away(np.sqrt(cx / (n - 1)), 6),
         })
 
     return partials.map_batches(finish, batch_format="pandas")
@@ -868,7 +894,7 @@ def embedding_norms_topk(sf_dir: str, k: int = 10):
         sq = (m * m).sum(axis=1) if len(m) else np.zeros(0)
         out = pd.DataFrame({
             "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
-            "l2_norm": np.round(np.sqrt(sq), 6)})
+            "l2_norm": round_half_away(np.sqrt(sq), 6)})
         return out.sort_values(["l2_norm", "vec_id"],
                                ascending=[False, True]).head(k)
 

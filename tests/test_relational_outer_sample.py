@@ -63,3 +63,30 @@ def test_first_word_counts_match_duckdb():
         "SELECT regexp_extract(text, '^([a-z]+)') w, COUNT(*) n "
         "FROM documents GROUP BY w ORDER BY w").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_full_outer_left_unmatched_user(tmp_path):
+    """Testdata never has an event user_id missing from customer, so the
+    left-unmatched outer case is pinned here with a synthetic sf_dir."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 99], type=pa.int64()),
+        "value": pa.array([1.5, 2.5, 7.0], type=pa.float64()),
+    }), f"{d}/events.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], type=pa.int64()),
+        "c_mktsegment": pa.array(["A", "B"], type=pa.string()),
+    }), f"{d}/customer.parquet")
+    got = R.events_user_order_full_outer(d).to_pandas().set_index("custkey")
+    assert set(got.index) == {1, 2, 99}
+    assert got.loc[1, "n_events"] == 2.0 and got.loc[1, "segment"] == "A"
+    # LEFT-unmatched: event user without a customer row
+    assert got.loc[99, "n_events"] == 1.0
+    assert got.loc[99, "sum_value"] == 7.0
+    assert pd.isna(got.loc[99, "segment"])
+    # RIGHT-unmatched: customer without events
+    assert pd.isna(got.loc[2, "n_events"])
