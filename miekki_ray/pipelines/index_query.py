@@ -27,7 +27,7 @@ from miekki_ray.stages.candidates import (
 from miekki_ray.stages.docs import reconstruct_docs
 from miekki_ray.stages.exact import exact_dedup
 from miekki_ray.stages.sketch import band_explode, sketch_docs
-from miekki_ray.stages.verify import attach_docs, verify_pairs
+from miekki_ray.stages.verify import verify_pairs
 
 U64 = np.uint64
 

@@ -21,7 +21,6 @@ the hot key's own row count, as for any keyed window.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
