@@ -74,20 +74,17 @@ def lcs_len(a: bytes, b: bytes) -> int:
     # concat with a separator byte value outside uint8 range (use int16 array)
     sa_ = np.frombuffer(a, dtype=np.uint8).astype(np.int16)
     sb_ = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
-    s = np.concatenate((sa_, np.array([256], dtype=np.int16), sb_ + 0))
+    s = np.concatenate((sa_, np.array([256], dtype=np.int16), sb_))
     na = sa_.size
     sa = suffix_array(s)
     lcp = _kasai_lcp(s, sa)
-    # adjacent suffixes from different documents
-    side = sa < na          # True = suffix starts in a (separator belongs to b side check below)
+    # adjacent suffixes from different documents; the separator value 256
+    # differs from every byte, so common prefixes never span it
     side_a = sa < na
     cross = side_a[1:] != side_a[:-1]
     if not cross.any():
         return 0
-    best = int(lcp[1:][cross].max()) if cross.any() else 0
-    # LCP can run over the separator? no: separator value 256 differs from
-    # every byte, so common prefixes never span it.
-    return best
+    return int(lcp[1:][cross].max())
 
 
 def containment_ratio(short: bytes, long_: bytes) -> float:

@@ -37,12 +37,13 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
     """Pairs with shingle intersection > 0 and their EXACT Jaccard and
     containment. Columns: a, b, jaccard, containment (a < b).
 
-    Ubiquitous shingles (shared by > big_group docs — e.g. the role-tag
-    windows like "assistant<sep>" present in EVERY doc) are handled densely:
-    their counts are ADDED exactly to every emitted pair, but pairs sharing
-    ONLY such shingles are omitted. Those omitted pairs have intersection
-    <= n_big (a few dozen), so J <= n_big/min_doc_shingles — orders of
-    magnitude below any dedup threshold; the returned J values are exact."""
+    Ubiquitous shingles (shared by > big_group docs — e.g. boilerplate
+    openings, or EVERY shingle of a mega-duplicate cluster) are handled
+    densely: pairs sharing at least one such shingle are enumerated from
+    the doc×big-hash incidence matrix (O(n_heavy²), fine at oracle scope)
+    and their counts ADDED exactly — so a corpus of 10k identical docs
+    yields all its pairs at J=1.0, not zero. The returned J values are
+    exact for every pair with nonzero intersection."""
     docs = reconstruct_docs_pandas(turns, role_sep, turn_sep)
     ids = docs["conv_id"].to_numpy()
     sets = [shingle_hashes(d.encode("utf-8"), k) for d in docs["doc"]]
@@ -77,17 +78,34 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
         d = np.sort(all_d[s:e])
         ii, jj = np.triu_indices(m, k=1)
         pair_keys.append(d[ii].astype(np.int64) * n + d[jj])
-    if not pair_keys:
-        return pd.DataFrame(columns=["a", "b", "jaccard", "containment"])
-    keys, counts = np.unique(np.concatenate(pair_keys), return_counts=True)
-    ai, bi = keys // n, keys % n
-    inter = counts.astype(np.float64)
+    small = (np.concatenate(pair_keys) if pair_keys
+             else np.empty(0, dtype=np.int64))
+    keys, counts = np.unique(small, return_counts=True)
+    B = None
     if big_members:
-        # dense incidence over the (few) ubiquitous hashes: exact +1 per
-        # big hash both pair members carry
+        # dense incidence over the ubiquitous hashes
         B = np.zeros((n, len(big_members)), dtype=bool)
         for col, mem in enumerate(big_members):
             B[mem, col] = True
+        # pairs sharing ONLY big hashes must still be emitted (a
+        # mega-duplicate cluster has EVERY shingle in a big group):
+        # enumerate pairs of heavy docs with >= 1 shared big hash
+        heavy = np.flatnonzero(B.any(axis=1))
+        if heavy.size >= 2:
+            Bh = B[heavy].astype(np.uint8)
+            share = (Bh @ Bh.T) > 0
+            ii, jj = np.nonzero(np.triu(share, k=1))
+            hkeys = heavy[ii].astype(np.int64) * n + heavy[jj]
+            extra = np.setdiff1d(hkeys, keys)   # both sides unique
+            keys = np.concatenate([keys, extra])
+            counts = np.concatenate(
+                [counts, np.zeros(extra.size, dtype=counts.dtype)])
+    if keys.size == 0:
+        return pd.DataFrame(columns=["a", "b", "jaccard", "containment"])
+    ai, bi = keys // n, keys % n
+    inter = counts.astype(np.float64)
+    if B is not None:
+        # exact +1 per big hash both pair members carry
         inter += (B[ai] & B[bi]).sum(axis=1)
     union = sizes[ai] + sizes[bi] - inter
     jac = inter / union

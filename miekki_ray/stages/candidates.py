@@ -76,8 +76,17 @@ def hot_bucket_keys(band_rows: ray.data.Dataset, cfg: DedupConfig
 def salt_hot_buckets(band_rows: ray.data.Dataset, hot_keys: np.ndarray,
                      cfg: DedupConfig) -> ray.data.Dataset:
     """Re-key rows in hot buckets: bucket_key' = mix(key + salt+1) where
-    salt = doc_hash % salt_factor. Splits a mega-bucket into salt_factor
-    sub-buckets spread across shuffle partitions [spec BASELINE.json:6]."""
+    salt = mix(doc_hash, bucket_key) % salt_factor. Splits a mega-bucket
+    into salt_factor sub-buckets spread across shuffle partitions
+    [spec BASELINE.json:6].
+
+    The salt draw MUST vary per band (hence mixing bucket_key in): a
+    band-independent `doc_hash % s` would assign each doc the SAME salt in
+    every band, permanently separating two different-salt docs in all b
+    bands — a mega near-dup cluster would split into up to salt_factor
+    components. With a per-band draw, a pair split in one band still
+    collides in another with prob 1/s per band (expected b/s shared
+    sub-buckets), preserving the recall rationale."""
     if hot_keys.size == 0:
         return band_rows
     hot_ref = ray.put(hot_keys)
@@ -91,7 +100,9 @@ def salt_hot_buckets(band_rows: ray.data.Dataset, hot_keys: np.ndarray,
             return batch
         dh = batch["doc_hash"].to_numpy()
         with np.errstate(over="ignore"):
-            salted = splitmix64(keys.view(U64) + (dh % s) + U64(1))
+            draw = splitmix64(
+                dh + keys.view(U64) * U64(0x9E3779B97F4A7C15)) % s
+            salted = splitmix64(keys.view(U64) + draw + U64(1))
         new_keys = np.where(is_hot, salted.view(np.int64), keys)
         return batch.set_column(
             batch.schema.get_field_index("bucket_key"), "bucket_key",

@@ -297,30 +297,29 @@ def assign_clusters_ds(docs: ray.data.Dataset,
             }), batch_format="pyarrow", zero_copy_batch=True)
     P = cfg.num_partitions
 
+    # both sides tag with THE shared string-partition convention
+    # (util.str_part) — a drift between these two would land docs and
+    # labels in different partitions and silently mis-assign clusters
+    from miekki_ray.functions.util import str_part
+
     def tag_docs(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch["conv_id"].to_pandas(), copy=False).astype(str)
-        h = pd.util.hash_pandas_object(s, index=False) \
-            .to_numpy(dtype=np.uint64)
         return pa.table({
             "node": pa.array(s.to_numpy(), type=pa.string()),
             "label": pa.array([None] * batch.num_rows, type=pa.string()),
             "is_doc": pa.array(np.ones(batch.num_rows, dtype=bool)),
-            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
-                              type=pa.int32()),
+            "_part": pa.array(str_part(s, P), type=pa.int32()),
         })
 
     def tag_labels(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch["node"].to_pandas(), copy=False).astype(str)
-        h = pd.util.hash_pandas_object(s, index=False) \
-            .to_numpy(dtype=np.uint64)
         return pa.table({
             "node": pa.array(s.to_numpy(), type=pa.string()),
             "label": pa.array(
                 pd.Series(batch["label"].to_pandas()).astype(str).to_numpy(),
                 type=pa.string()),
             "is_doc": pa.array(np.zeros(batch.num_rows, dtype=bool)),
-            "_part": pa.array((h % np.uint64(P)).astype(np.int32),
-                              type=pa.int32()),
+            "_part": pa.array(str_part(s, P), type=pa.int32()),
         })
 
     mixed = ids.map_batches(tag_docs, batch_format="pyarrow",

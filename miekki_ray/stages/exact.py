@@ -20,16 +20,27 @@ import ray.data
 from miekki_ray.config import DedupConfig
 
 
-def _dedup_partition(group: pd.DataFrame) -> pa.Table:
-    from miekki_ray.functions.util import pa_from_pandas
-
-    g = group.sort_values(["doc_hash", "conv_id"], kind="mergesort")
-    first = ~g["doc_hash"].duplicated(keep="first")
-    reps = g[first][["doc_hash", "conv_id"]].rename(
-        columns={"conv_id": "_rep"})
-    g = g.merge(reps, on="doc_hash", how="left")
-    g["_is_rep"] = g["conv_id"] == g["_rep"]
-    return pa_from_pandas(g)
+def _dedup_partition(grp: pa.Table) -> pa.Table:
+    """Tag per-hash winners within a partition WITHOUT round-tripping the
+    payload columns (the full doc text on the non-slim path) through
+    pandas objects: only (doc_hash, conv_id) are touched as arrays; the
+    rest of the table is reordered zero-copy via Arrow take, so doc stays
+    large_string and text bytes are never re-boxed."""
+    if grp.num_rows == 0:
+        return grp.append_column("_rep", pa.array([], type=pa.string())) \
+                  .append_column("_is_rep", pa.array([], type=pa.bool_()))
+    dh = grp["doc_hash"].to_numpy(zero_copy_only=False)
+    cid = grp["conv_id"].to_pandas().to_numpy(dtype=object)
+    order = np.lexsort((cid, dh))
+    dh_s, cid_s = dh[order], cid[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], dh_s[1:] != dh_s[:-1])))
+    runlen = np.diff(np.append(starts, len(dh_s)))
+    rep = np.repeat(cid_s[starts], runlen)
+    t = grp.take(pa.array(order, type=pa.int64()))
+    t = t.append_column("_rep", pa.array(rep, type=pa.string()))
+    return t.append_column(
+        "_is_rep", pa.array(cid_s == rep, type=pa.bool_()))
 
 
 def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
@@ -43,7 +54,7 @@ def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
     # edges) are cheap filters of it — without this, each consumer re-runs
     # the whole upstream shuffle
     tagged = parted.groupby("_part").map_groups(
-        _dedup_partition, batch_format="pandas").materialize()
+        _dedup_partition, batch_format="pyarrow").materialize()
 
     unique_docs = tagged.filter(expr="_is_rep == True").drop_columns(
         ["_part", "_rep", "_is_rep"])
@@ -82,7 +93,7 @@ def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
     tagged = (slim.map_batches(add_uint_part("doc_hash", P),
                                batch_format="pyarrow", zero_copy_batch=True)
               .groupby("_part")
-              .map_groups(_dedup_partition, batch_format="pandas")
+              .map_groups(_dedup_partition, batch_format="pyarrow")
               .materialize())
     edges = (tagged.filter(expr="_is_rep == False")
              .map_batches(_to_edges, batch_format="pandas"))

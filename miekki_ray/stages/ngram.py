@@ -57,36 +57,31 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 class NgramSketcher:
-    """MinHash over word n-grams — same signature layout as the character
-    sketcher, so band_explode/candidates work unchanged."""
+    """MinHash over word n-grams — same sig layout as the character
+    sketcher, so band_explode/candidates work unchanged. Emits sig ONLY:
+    a word-n-gram family has no prefix sketch (ST3 containment is a
+    char-shingle concept), so its bands must all be ordinary pband=False
+    bands (band_explode is called with include_prefix=False)."""
 
     def __init__(self, cfg: DedupConfig, n: int = 3):
         self.cfg = cfg
         self.n = n
         self.a, self.b = hash_params(cfg.num_perm, cfg.seed + 17)
-        npslots = cfg.prefix_bands * cfg.prefix_rows
-        self.pa_, self.pb_ = hash_params(npslots, cfg.seed + 18)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         docs = batch["doc"].to_pylist()
         sets = [_stable_word_hashes(d, self.n) for d in docs]
         sizes = np.array([s.size for s in sets], dtype=np.int64)
-        npslots = cfg.prefix_bands * cfg.prefix_rows
         if docs:
             concat = np.concatenate(sets)
             offsets = np.concatenate(([0], np.cumsum(sizes)[:-1]))
             sig = minhash_from_concat(concat, offsets, self.a, self.b)
-            psig = minhash_from_concat(concat, offsets, self.pa_, self.pb_)
         else:
             sig = np.empty((0, cfg.num_perm), dtype=np.uint64)
-            psig = np.empty((0, npslots), dtype=np.uint64)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sig.ravel(), type=pa.uint64()), cfg.num_perm)
-        psig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(psig.ravel(), type=pa.uint64()), npslots)
-        out = batch.append_column("sig", sig_col)
-        return out.append_column("psig", psig_col)
+        return batch.append_column("sig", sig_col)
 
 
 def ngram_near_dup_pairs(docs: ray.data.Dataset, cfg: DedupConfig,
@@ -101,7 +96,10 @@ def ngram_near_dup_pairs(docs: ray.data.Dataset, cfg: DedupConfig,
     sk = docs.map_batches(NgramSketcher(cfg, n), batch_format="pyarrow",
                           zero_copy_batch=True,
                           batch_size=cfg.sketch_batch_size).materialize()
-    bands = band_explode(sk, cfg)
+    # sig bands only: the ngram family has no true prefix sketch (its
+    # psig slot is a second full-doc minhash) — labeling those bands
+    # pband=True would cap their hot buckets at prefix_pair_cap
+    bands = band_explode(sk, cfg, include_prefix=False)
     pairs = candidate_pairs(bands, cfg).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(pa.table({

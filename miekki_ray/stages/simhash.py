@@ -118,14 +118,27 @@ def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
         })
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
+        from miekki_ray.stages.candidates import _triu_unrank
+
         g = group.sort_values(["block_key", "conv_id"], kind="mergesort")
         out_a, out_b = [], []
-        for _, grp in g.groupby("block_key", sort=False):
+        for bk, grp in g.groupby("block_key", sort=False):
             if len(grp) < 2:
                 continue
             ids = grp["conv_id"].to_numpy(dtype=object)
             sigs = grp["simhash"].to_numpy(dtype=np.uint64)
-            ii, jj = np.triu_indices(len(ids), k=1)
+            m = len(ids)
+            n_pairs = m * (m - 1) // 2
+            if n_pairs > cfg.pair_cap:
+                # skew guard, same contract as the LSH path: a shared
+                # 16-bit block across a boilerplate corpus would otherwise
+                # materialize O(m^2) triu arrays in one task
+                rng = np.random.default_rng(int(bk) & 0x7FFFFFFF)
+                pick = rng.choice(n_pairs, size=cfg.pair_cap,
+                                  replace=False)
+                ii, jj = _triu_unrank(pick, m)
+            else:
+                ii, jj = np.triu_indices(m, k=1)
             hd = hamming64(sigs[ii], sigs[jj])
             keep = hd <= max_hamming
             out_a.append(ids[ii[keep]])

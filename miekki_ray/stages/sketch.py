@@ -122,23 +122,34 @@ def _sig_matrix_col(batch: pa.Table, name: str, width: int) -> np.ndarray:
     return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
 
 
-def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig
-                 ) -> ray.data.Dataset:
+def band_explode(sketched: ray.data.Dataset, cfg: DedupConfig,
+                 include_prefix: bool = True) -> ray.data.Dataset:
     """sig → b band rows per doc (Arrow-native explode inside map_batches —
-    cheaper than per-row flat_map, SURVEY.md §2.2 M7)."""
+    cheaper than per-row flat_map, SURVEY.md §2.2 M7).
+
+    ``include_prefix=False`` emits only the full-doc sig bands — for
+    sketch families (word n-grams) whose psig slot is NOT a true prefix
+    sketch; tagging those pband=True would wrongly put their hot buckets
+    under the tight prefix_pair_cap."""
     b_, r_, seed = cfg.bands, cfg.rows_per_band, cfg.seed
 
-    pb_, pr_ = cfg.prefix_bands, cfg.prefix_rows
+    pb_, pr_ = ((cfg.prefix_bands, cfg.prefix_rows) if include_prefix
+                else (0, 0))
     total_b = b_ + pb_
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         sig = _sig_matrix(batch, cfg.num_perm)
         bh = band_hashes(sig, b_, r_, seed)              # (n, b)
-        # prefix-sketch bands (containment candidates) use band ids past b_
-        psig = _sig_matrix_col(batch, "psig", pb_ * pr_)
-        pbh = band_hashes(psig, pb_, pr_, seed + 13)     # (n, pb)
-        allh = np.concatenate([bh, pbh], axis=1)         # (n, b+pb)
+        if pb_:
+            # prefix-sketch bands (containment candidates) use band ids
+            # past b_
+            psig = _sig_matrix_col(batch, "psig",
+                                   cfg.prefix_bands * cfg.prefix_rows)
+            pbh = band_hashes(psig, pb_, pr_, seed + 13)     # (n, pb)
+            allh = np.concatenate([bh, pbh], axis=1)         # (n, b+pb)
+        else:
+            allh = bh
         band_ids = np.tile(np.arange(total_b, dtype=np.uint64), n)
         from miekki_ray.functions.hashing import splitmix64
         with np.errstate(over="ignore"):

@@ -126,6 +126,27 @@ class _Builder:
             self.rows_ts.append(_BASE_TS_US + conv_i * 3_600_000_000 + ti * 30_000_000)
         return cid
 
+    def emit_edited(self, tokens: list[np.ndarray], src_cid: str) -> str:
+        """Emit an edited copy carrying the SOURCE's role/tool tags: the
+        near-dup fixtures calibrate Jaccard purely via token edit rates;
+        emit()'s independent 10% tool redraw would otherwise perturb
+        ~18% of turn tags on top of the planted edits, pushing the
+        borderline band off the threshold it is tuned to straddle."""
+        roles, _texts, tools = self.last_conv_rows(src_cid)
+        cid = f"c{self.n_emitted:06d}"
+        conv_i = self.n_emitted
+        self.n_emitted += 1
+        self._conv_start[cid] = len(self.rows_conv)
+        for ti, tok in enumerate(tokens):
+            self.rows_conv.append(cid)
+            self.rows_idx.append(ti)
+            self.rows_role.append(roles[ti])
+            self.rows_text.append(" ".join(self.vocab[j] for j in tok))
+            self.rows_tool.append(tools[ti])
+            self.rows_ts.append(
+                _BASE_TS_US + conv_i * 3_600_000_000 + ti * 30_000_000)
+        return cid
+
     def last_conv_rows(self, cid: str) -> tuple[list, list, list]:
         # rows of one conv are contiguous and in turn_idx order at emit time
         s = self._conv_start[cid]
@@ -177,7 +198,8 @@ def synth_transcripts(n_convs: int, seed: int) -> tuple[pa.Table, pa.Table]:
         tokens = b.new_conv_tokens(n_turns=int(b.rng.integers(6, 30)))
         first = b.emit(tokens)
         for _ in range(size - 1):
-            other = b.emit(_edit_tokens(tokens, b.rng, 0.006, b.vocab_n))
+            other = b.emit_edited(
+                _edit_tokens(tokens, b.rng, 0.006, b.vocab_n), first)
             b.planted.append((first, other, "near_high"))
         emitted += size
 
@@ -185,7 +207,8 @@ def synth_transcripts(n_convs: int, seed: int) -> tuple[pa.Table, pa.Table]:
     for _ in range(max(0, n_border // 2)):
         tokens = b.new_conv_tokens(n_turns=int(b.rng.integers(6, 30)))
         first = b.emit(tokens)
-        other = b.emit(_edit_tokens(tokens, b.rng, 0.04, b.vocab_n))
+        other = b.emit_edited(
+            _edit_tokens(tokens, b.rng, 0.04, b.vocab_n), first)
         b.planted.append((first, other, "near_border"))
 
     # --- containment: A = true prefix of B's turns, roles and all
