@@ -98,3 +98,55 @@ def test_near_dup_multibyte_pair_found(tiny_cfg):
     cl = res.clusters.to_pandas().set_index("conv_id")["cluster_id"]
     assert cl["jp_a"] == cl["jp_b"] == "jp_a"
     assert cl["far"] == "far"
+
+
+def test_near_identical_mega_cluster_one_component(tiny_cfg):
+    """Per-band salting regression: 300 near-identical (NOT byte-identical,
+    so exact dedup removes nothing) docs make every band's bucket hot and
+    salted. A band-INdependent salt would give each doc the same salt in
+    all bands and split this true cluster into up to salt_factor
+    components; the per-band draw must keep it ONE."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu " * 8
+            ).split()
+    rows = []
+    for i in range(300):
+        words = list(base)
+        words[i % len(words)] = f"zzz{i}"
+        rows.append((f"m{i:04d}", 0, " ".join(words)))
+    res = dedup_datasets(ray.data.from_arrow(_turns(rows)), tiny_cfg)
+    cl = res.clusters.to_pandas()
+    assert len(cl) == 300
+    assert cl["cluster_id"].nunique() == 1
+    assert keep_list(res).count() == 1
+
+
+def test_salt_draw_varies_per_band(tiny_cfg):
+    """Pins the per-band salting property directly: two docs with
+    different doc_hash % salt_factor, sharing the SAME hot bucket in all
+    32 bands, must land in the same salted sub-bucket in at least one
+    band. Under the old band-independent salt (doc_hash % s) this was
+    IMPOSSIBLE — the pair was separated in every band, permanently
+    splitting mega near-dup clusters."""
+    from miekki_ray.stages.candidates import salt_hot_buckets
+
+    b = 32
+    keys = np.arange(b, dtype=np.int64) + 1000   # one hot bucket per band
+    band_rows = pa.table({
+        "conv_id": pa.array(["a"] * b + ["b"] * b, type=pa.string()),
+        "doc_hash": pa.array(
+            np.concatenate([np.full(b, 5), np.full(b, 11)]).astype(
+                np.uint64), type=pa.uint64()),           # 5 % 16 != 11 % 16
+        "bucket_key": pa.array(np.tile(keys, 2), type=pa.int64()),
+        "band": pa.array(np.tile(np.arange(b, dtype=np.int32), 2),
+                         type=pa.int32()),
+    })
+    out = salt_hot_buckets(ray.data.from_arrow(band_rows), keys,
+                           tiny_cfg).to_pandas()
+    pivot = out.pivot(index="band", columns="conv_id",
+                      values="bucket_key")
+    n_meet = int((pivot["a"] == pivot["b"]).sum())
+    assert n_meet >= 1, "pair separated in every band"
+    # and the split is real: they do NOT share every sub-bucket
+    assert n_meet < b
