@@ -92,7 +92,10 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
         # enumerate pairs of heavy docs with >= 1 shared big hash
         heavy = np.flatnonzero(B.any(axis=1))
         if heavy.size >= 2:
-            Bh = B[heavy].astype(np.uint8)
+            # int32, NOT uint8: a uint8 matmul wraps at 256, so heavy-doc
+            # pairs sharing an exact multiple of 256 ubiquitous shingles
+            # would read 0 shared and be silently dropped (ADVICE r2).
+            Bh = B[heavy].astype(np.int32)
             share = (Bh @ Bh.T) > 0
             ii, jj = np.nonzero(np.triu(share, k=1))
             hkeys = heavy[ii].astype(np.int64) * n + heavy[jj]

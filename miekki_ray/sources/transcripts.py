@@ -46,25 +46,46 @@ def clean_read_schema(path: str | list[str],
     ``columns`` — passed to read_parquet so even the READ stage's blocks
     carry a hashable schema (otherwise the pandas metadata embedded in
     the footer defeats Ray's shuffle schema-dedup from the first op on).
-    Returns None (let Ray infer) if no footer is reachable."""
+    Returns None (let Ray infer) if no footer is reachable.
+
+    For a directory, EVERY part file's footer is read (metadata-only;
+    ~KBs per file, driver-side, once) and the projected fields must agree
+    — otherwise a part written by a drifted writer (e.g. int32 vs int64)
+    would be silently coerced or fail mid-read with a confusing error
+    deep in the pipeline (ADVICE r2). Surfacing the drift here names the
+    offending file."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _project(schema: pa.Schema) -> pa.Schema:
+        if columns is None:
+            return schema
+        return pa.schema([schema.field(c) for c in columns])
+
     p = path[0] if isinstance(path, list) else path
+    rest: list[str] = []
     if os.path.isdir(p):
         files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
         if not files:
             return None
+        rest = [os.path.join(p, f) for f in files[1:]]
         p = os.path.join(p, files[0])
     try:
-        full = pq.read_schema(p).with_metadata(None)
+        out = _project(pq.read_schema(p).with_metadata(None))
     except Exception:
         return None
-    if columns is None:
-        return full
-    return pa.schema([full.field(c) for c in columns])
+    for other in rest:
+        try:
+            got = _project(pq.read_schema(other).with_metadata(None))
+        except Exception:
+            continue
+        if got != out:
+            raise ValueError(
+                f"parquet schema drift inside directory: {other!r} has "
+                f"{got} but {p!r} has {out}")
+    return out
 
 
 def read_transcripts(path: str | list[str],

@@ -159,6 +159,8 @@ def lag_lead(events: ray.data.Dataset,
     BY user_id ORDER BY ts, event_id). Same one-shuffle partition-by-key
     idiom as rolling_window: grouped shifts are a single vectorized pass
     per partition."""
+    from miekki_ray.functions.textstats import round_half_away
+
     add_part = add_uint_part("user_id", num_partitions)
 
     def shifts(group: pd.DataFrame) -> pd.DataFrame:
@@ -179,7 +181,9 @@ def lag_lead(events: ray.data.Dataset,
             "value": g["value"],
             "prev_value": prev_v,
             "next_value": next_v,
-            "gap_s": np.round(gap_s, 6),
+            # round_half_away, not np.round: repo-wide DuckDB ROUND
+            # parity discipline for oracle-compared floats (ADVICE r2)
+            "gap_s": round_half_away(gap_s, 6),
         })
 
     return (events.select_columns(["event_id", "user_id", "ts", "value"])

@@ -150,3 +150,30 @@ def test_salt_draw_varies_per_band(tiny_cfg):
     assert n_meet >= 1, "pair separated in every band"
     # and the split is real: they do NOT share every sub-bucket
     assert n_meet < b
+
+
+def test_oracle_256_shingle_mega_duplicate_not_dropped():
+    """Regression (ADVICE r2, oracle.py uint8 matmul): 200 identical docs
+    whose doc has EXACTLY 256 distinct k=12 shingles. Every shingle group
+    has 200 > big_group members, so the oracle takes the dense heavy-doc
+    path; a uint8 incidence matmul wraps 256 shared hashes to 0 and
+    silently drops ALL 19,900 pairs. The fixed int32 product must return
+    every pair at J=1.0."""
+    from miekki_ray.functions.hashing import shingle_hashes
+    from miekki_ray.oracle import exact_pairs, oracle_truth
+
+    # strictly-increasing 4-digit counters: no 12-byte substring repeats,
+    # so an N-byte doc has exactly N-11 distinct shingles
+    body = "".join(f"{i:04d}" for i in range(100))
+    text = body[:265]                     # doc = 'u' + \x1f + text = 267 B
+    doc = "u\x1f" + text
+    assert shingle_hashes(doc.encode("utf-8"), 12).size == 256
+
+    n = 200
+    rows = [(f"c{i:03d}", 0, text) for i in range(n)]
+    turns = _turns(rows)
+    pairs = exact_pairs(turns, k=12)
+    assert len(pairs) == n * (n - 1) // 2
+    assert (pairs["jaccard"] == 1.0).all()
+    _, clusters = oracle_truth(turns, k=12, jaccard_threshold=0.8)
+    assert clusters["cluster_id"].nunique() == 1

@@ -65,3 +65,37 @@ def test_filter_turns_roles(small_corpus):
     out = filter_turns(ray.data.from_arrow(turns), roles=["tool"]).to_pandas()
     assert (out["role"] == "tool").all()
     assert len(out) == (turns.to_pandas()["role"] == "tool").sum()
+
+
+def test_clean_read_schema_surfaces_part_drift(tmp_path):
+    """Regression (ADVICE r2, sources/transcripts.py): a directory whose
+    part files disagree on a projected column's type (e.g. int32 vs int64
+    turn_idx from a drifted writer) must raise a ValueError naming the
+    drifted file — not silently coerce to the first footer's schema."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from miekki_ray.sources.transcripts import (TURN_COLUMNS,
+                                                clean_read_schema)
+
+    def table(idx_type):
+        return pa.table({
+            "conv_id": pa.array(["c0"], type=pa.string()),
+            "turn_idx": pa.array([0], type=idx_type),
+            "role": pa.array(["user"], type=pa.string()),
+            "text": pa.array(["hello"], type=pa.string()),
+            "tool": pa.array([None], type=pa.string()),
+            "ts": pa.array([1_700_000_000_000_000],
+                           type=pa.timestamp("us")),
+        })
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    pq.write_table(table(pa.int32()), d / "part-000.parquet")
+    pq.write_table(table(pa.int64()), d / "part-001.parquet")
+    with pytest.raises(ValueError, match="part-001"):
+        clean_read_schema(str(d), TURN_COLUMNS)
+    # agreeing parts are fine and return the projected schema
+    pq.write_table(table(pa.int32()), d / "part-001.parquet")
+    schema = clean_read_schema(str(d), TURN_COLUMNS)
+    assert schema.names == TURN_COLUMNS
