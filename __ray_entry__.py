@@ -225,6 +225,24 @@ def _ann_ivf(sf_dir: str):
     return ivf_topk(emb, _query_vecs(sf_dir), k=10)
 
 
+def _ann_ivf_partitioned(sf_dir: str):
+    """Cluster-scale IVF (r3): cell-keyed groupby co-locates each Voronoi
+    cell, unprobed cells pruned before the shuffle, centroids a persisted
+    artifact. Rows-only (ANN recall < 1 is not SQL-expressible); the
+    recall gate vs brute force is tests/test_similarity.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from miekki_ray.stages.similarity import ivf_topk_partitioned
+
+    emb = _read_tbl(sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]   # deterministic
+    art = os.path.join(tempfile.gettempdir(), f"ivf_cent_{tag}.npy")
+    return ivf_topk_partitioned(emb, _query_vecs(sf_dir), k=10,
+                                artifact_path=art)
+
+
 def _embedding_pairs_exact(sf_dir: str):
     import ray.data
 
@@ -897,8 +915,80 @@ def _media_stats(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from miekki_ray import relational as R
 
+    # REGISTRATION ORDER IS EVIDENCE (VERDICT r2 "Next round" #1): the
+    # driver's correctness gate checks exactly the FIRST 50 entries of
+    # this dict. Round 2 checked the long-green relational block and left
+    # 40 later entries (windows, scrub, pack, curate, containment,
+    # levenshtein, kmeans, CSV, media) with no driver row despite all
+    # being hash-green in the local harness. Round 3 rotates: the
+    # previously-unchecked 40 go FIRST, followed by the flagship-family
+    # sentinels (dedup clusters/edges/keep-list, reconstruction, exact
+    # keep-first, jaccard-exact, index/incremental) so the core dedup
+    # contract keeps a driver row every round. The r2-checked relational
+    # block moves behind the window — it has two rounds of green rows.
     return {
-        # relational stage library (DuckDB-oracled)
+        # --- windows / frames (SQL-oracled, driver-unchecked in r2) ---
+        "events_tumbling": _events_tumbling,
+        "events_hopping": _events_hopping,
+        "events_sessions": _events_sessions,
+        "events_lag_lead": _events_lag_lead,
+        "events_running_sum": _events_running_sum,
+        "events_ntile": _events_ntile,
+        "events_rolling": _events_rolling,
+        # --- scrub / curate / packing (LLM-pipeline ops) ---
+        "documents_pii_redact": _documents_pii_redact,
+        "documents_decontaminated": _documents_decontaminated,
+        "documents_pack_bins": _documents_pack_bins,
+        "documents_curated": _documents_curated,
+        "documents_mix_sample": R.documents_mix_sample,
+        "documents_repetition": R.documents_repetition,
+        # --- containment / edit-distance / ngram near-dup modalities ---
+        "containment_pairs": _containment_pairs,
+        "part_levenshtein_pairs": _part_levenshtein_pairs,
+        "ngram_near_dup_pairs": _ngram_pairs,
+        # --- aggregates / scalar kernels (SQL-oracled) ---
+        "events_value_quantiles_approx": _events_value_quantiles_approx,
+        "events_corr_by_type": R.events_corr_by_type,
+        "orders_priority_argmax": R.orders_priority_argmax,
+        "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
+        "orders_dow_counts": R.orders_dow_counts,
+        "part_name_prefix_counts": R.part_name_prefix_counts,
+        "events_mode_type_per_user": R.events_mode_type_per_user,
+        "orders_cube_agg": R.orders_cube_agg,
+        "events_json_extract_stats": R.events_json_extract_stats,
+        "documents_sentence_stats": R.documents_sentence_stats,
+        "documents_top_tokens": R.documents_top_tokens,
+        "documents_top_tokens_approx": _documents_top_tokens_approx,
+        "documents_hash_sample": R.documents_hash_sample,
+        # --- embeddings / clustering ---
+        "embedding_norms_topk": R.embedding_norms_topk,
+        "embedding_label_centroids": R.embedding_label_centroids,
+        "embedding_kmeans": _embedding_kmeans,
+        # --- sources / sinks round-trips ---
+        "nation_csv_region_join": _nation_csv_region_join,
+        "documents_partitioned_sink": _documents_partitioned_sink,
+        # --- cluster stats / media (rows-only) ---
+        "documents_top_clusters": _documents_top_clusters,
+        "dedup_cluster_stats": _dedup_cluster_stats,
+        "media_decode": _media_decode,
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
+        "media_meta_stats": _media_stats,
+        # --- new in r3 ---
+        "orders_sorted": R.orders_sorted,
+        "ann_topk_ivf_partitioned": _ann_ivf_partitioned,
+        # --- flagship-family sentinels (driver hash-green in r2; keep a
+        # --- row every round) ---
+        "dedup_clusters": _dedup_clusters,
+        "dedup_keep_list": _dedup_keep_list,
+        "dedup_edges": _dedup_edges,
+        "reconstruct_docs": _reconstruct_docs,
+        "documents_exact_keep_first": R.documents_exact_keep_first,
+        "jaccard_pairs_exact": _jaccard_pairs_exact,
+        "index_query_matches": _index_query_matches,
+        "incremental_clusters": _incremental_clusters,
+        # ================= driver 50-entry window ends here =============
+        # relational stage library (DuckDB-oracled; driver-green r1+r2)
         "lineitem_agg": R.lineitem_agg,
         "events_by_type": R.events_by_type,
         "part_brand_top5": R.part_brand_top5,
@@ -923,23 +1013,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": R.events_value_histogram,
         "documents_first_word_counts": R.documents_first_word_counts,
         # documents-table dedup ops (DuckDB-oracled)
-        "documents_exact_keep_first": R.documents_exact_keep_first,
         "documents_dup_clusters": R.documents_dup_clusters,
         "documents_lang_counts": R.documents_lang_counts,
         "documents_distinct_count": R.documents_distinct_count,
-        # doc reconstruction against SQL string_agg oracle
-        "reconstruct_docs": _reconstruct_docs,
         # text analysis
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
         "doc_langid": _doc_langid,
         "doc_fingerprints": _doc_fingerprints,
         "doc_winnow_fp": _doc_winnow_fp,
-        # dedup engine proper (rows-only; MinHash/LSH not SQL-expressible)
-        "dedup_clusters": _dedup_clusters,
-        "dedup_keep_list": _dedup_keep_list,
-        "dedup_edges": _dedup_edges,
-        "jaccard_pairs_exact": _jaccard_pairs_exact,
+        # dedup engine internals (rows-only; MinHash/LSH not SQL)
         "minhash_sketch": _minhash_sketch,
         "band_rows": _band_rows,
         "simhash_pairs": _simhash_pairs,
@@ -949,56 +1032,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": _ann_bruteforce,
         "ann_topk_lsh": _ann_lsh,
         "ann_topk_ivf": _ann_ivf,
-        # query-vs-index + incremental pipelines (rows-only)
-        "index_query_matches": _index_query_matches,
-        "incremental_clusters": _incremental_clusters,
-        # as-of join / rolling window / heavy hitters / sampling
+        # as-of join / range join / sketch aggregates / format round-trips
         "events_asof_orders": _events_asof_orders,
         "events_range_next10m": _events_range_next10m,
         "documents_approx_distinct": _documents_approx_distinct,
         "documents_jsonl_agg": _documents_jsonl_agg,
-        "events_value_quantiles_approx": _events_value_quantiles_approx,
-        "events_lag_lead": _events_lag_lead,
-        "events_running_sum": _events_running_sum,
-        "events_ntile": _events_ntile,
-        "events_corr_by_type": R.events_corr_by_type,
-        "orders_priority_argmax": R.orders_priority_argmax,
-        "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
-        "orders_dow_counts": R.orders_dow_counts,
-        "part_name_prefix_counts": R.part_name_prefix_counts,
-        "embedding_norms_topk": R.embedding_norms_topk,
-        "part_levenshtein_pairs": _part_levenshtein_pairs,
-        "events_mode_type_per_user": R.events_mode_type_per_user,
-        "orders_cube_agg": R.orders_cube_agg,
-        "embedding_label_centroids": R.embedding_label_centroids,
-        "events_json_extract_stats": R.events_json_extract_stats,
-        "documents_sentence_stats": R.documents_sentence_stats,
-        "documents_curated": _documents_curated,
-        "documents_pii_redact": _documents_pii_redact,
-        "documents_decontaminated": _documents_decontaminated,
-        "documents_pack_bins": _documents_pack_bins,
-        "containment_pairs": _containment_pairs,
-        "documents_partitioned_sink": _documents_partitioned_sink,
-        "documents_mix_sample": R.documents_mix_sample,
-        "documents_repetition": R.documents_repetition,
-        "embedding_kmeans": _embedding_kmeans,
-        "nation_csv_region_join": _nation_csv_region_join,
-        "events_rolling": _events_rolling,
-        "documents_top_tokens": R.documents_top_tokens,
-        "documents_top_tokens_approx": _documents_top_tokens_approx,
-        "documents_hash_sample": R.documents_hash_sample,
-        # windows / stats (SQL-oracled)
-        "events_tumbling": _events_tumbling,
-        "events_hopping": _events_hopping,
-        "events_sessions": _events_sessions,
-        "documents_top_clusters": _documents_top_clusters,
-        # extras (rows-only)
-        "dedup_cluster_stats": _dedup_cluster_stats,
-        "ngram_near_dup_pairs": _ngram_pairs,
-        "media_decode": _media_decode,
-        "media_resize": _media_resize,
-        "media_frames": _media_frames,
-        "media_meta_stats": _media_stats,
     }
 
 
@@ -1209,6 +1247,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_top20": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "orders_sorted": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders
         """,
         "orders_by_month": """
             SELECT CAST(year(o_orderdate) AS INTEGER) AS y,

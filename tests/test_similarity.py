@@ -86,3 +86,64 @@ def test_embedding_near_dups(emb_ds):
     for i in range(5):
         assert (i, i + 50) in found, (i, found)
     assert (pairs["cosine"] >= 0.98).all()
+
+
+def test_ivf_partitioned_full_probe_equals_bruteforce(emb_ds):
+    from miekki_ray.stages.similarity import ivf_topk_partitioned
+
+    ds, base = emb_ds
+    q = base[:3]
+    exact = brute_force_topk(ds, q, k=5)
+    part = ivf_topk_partitioned(ds, q, k=5, n_centroids=8, nprobe=8, seed=3)
+    pd.testing.assert_frame_equal(
+        exact.sort_values(["query_idx", "rank"]).reset_index(drop=True),
+        part.sort_values(["query_idx", "rank"]).reset_index(drop=True))
+
+
+def test_ivf_partitioned_recall_gate():
+    """VERDICT r2 Next #5: recall@10 >= 0.9 vs brute force at
+    nprobe < n_centroids — on CLUSTERED data (the regime IVF is for; on
+    uniform noise no coarse quantizer gives high recall at small nprobe).
+    16 well-separated Gaussian clusters, 40 points each, queries drawn
+    near 6 of the cluster centers."""
+    from miekki_ray.stages.similarity import ivf_topk_partitioned
+
+    rng = np.random.default_rng(5)
+    d, n_cl, per = 16, 16, 40
+    centers = rng.standard_normal((n_cl, d)) * 6.0
+    pts = (centers.repeat(per, axis=0)
+           + rng.standard_normal((n_cl * per, d)) * 0.3)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n_cl * per, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in pts],
+                              type=pa.list_(pa.float32())),
+    }))
+    q = centers[:6] + rng.standard_normal((6, d)) * 0.2
+    exact = brute_force_topk(ds, q, k=10)
+    approx = ivf_topk_partitioned(ds, q, k=10, n_centroids=16, nprobe=4,
+                                  seed=3, train_sample=640)
+    hits = 0
+    for qi in range(6):
+        want = set(exact[exact["query_idx"] == qi]["vec_id"])
+        got = set(approx[approx["query_idx"] == qi]["vec_id"])
+        hits += len(want & got)
+    recall = hits / (6 * 10)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_centroid_artifact_roundtrip(tmp_path):
+    """Persisted-quantizer contract: second call loads the artifact (no
+    retrain) and yields bit-identical centroids."""
+    from miekki_ray.stages.similarity import ivf_centroids
+
+    rng = np.random.default_rng(9)
+    pts = rng.standard_normal((200, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+        "embedding": pa.array(list(pts), type=pa.list_(pa.float32())),
+    }))
+    art = str(tmp_path / "cent.npy")
+    c1 = ivf_centroids(ds, n_centroids=8, seed=3, artifact_path=art)
+    # poison the dataset reference: a reload must NOT touch the data
+    c2 = ivf_centroids(None, n_centroids=8, seed=3, artifact_path=art)
+    np.testing.assert_array_equal(c1, c2)
