@@ -68,6 +68,15 @@ class DedupConfig:
     # scale paths and assert identical output
     broadcast_loser_limit: int = 2_000_000   # exact-dup losers broadcastable
     driver_edge_limit: int = 2_000_000       # verified edges driver-UF-able
+    # below BOTH limits the verify stage skips its two hash joins and runs
+    # the SAME Verifier kernel once on the driver (verify.verify_local;
+    # r3 fix for the small-corpus fixed-overhead regression). 20k pairs is
+    # the same threshold at which join_width collapses to one partition —
+    # under it the joins are pure startup cost. The byte limit bounds the
+    # driver fetch via the docs table's average row bytes (estimate; the
+    # pathological bound is 2*pairs*doc_len_cap)
+    driver_verify_pairs: int = 20_000
+    driver_verify_bytes: int = 512 * 2**20
 
     # --- physical execution ---
     num_partitions: int = 64      # shuffle width for groupby stages
@@ -111,7 +120,8 @@ class DedupConfig:
         # that are asserted identical — tests/test_cluster.py)
         for phys in ("num_partitions", "sketch_batch_size", "sketch_concurrency",
                      "verify_batch_size", "broadcast_loser_limit",
-                     "driver_edge_limit"):
+                     "driver_edge_limit", "driver_verify_pairs",
+                     "driver_verify_bytes"):
             d.pop(phys)
         blob = json.dumps(d, sort_keys=True, default=str).encode()
         return hashlib.blake2b(blob, digest_size=16).hexdigest()

@@ -94,12 +94,14 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     docs = reconstruct_docs(turns, cfg).materialize()
     lap("docs")
     exact_edges, losers_ds = exact_dedup_slim(docs, cfg)
-    n_losers = losers_ds.count()
+    # ONE executor run decides the broadcast switch AND fetches the set
+    # (r2 ran count() then to_pandas() — two passes over the loser
+    # filter; each pass is ~1 s of fixed executor cost that dominates on
+    # small corpora). limit(L+1) stops early at scale, bounding the fetch.
+    losers = losers_ds.limit(cfg.broadcast_loser_limit + 1).to_pandas()
     lap("exact_dedup")
-    if n_losers <= cfg.broadcast_loser_limit:
-        losers = losers_ds.to_pandas() if n_losers else None
-        unique_docs = (drop_losers(docs, losers)
-                       if losers is not None else docs)
+    if len(losers) <= cfg.broadcast_loser_limit:
+        unique_docs = drop_losers(docs, losers) if len(losers) else docs
     else:
         # scale switch (J4): the loser set is too big to broadcast — take
         # the full exact_dedup path instead (one doc_hash shuffle of the
@@ -116,6 +118,15 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     if n_pairs == 0:
         from miekki_ray.stages.verify import empty_verified
         verified = empty_verified()
+    elif (n_pairs <= cfg.driver_verify_pairs
+          and _est_pair_doc_bytes(docs, n_pairs) <= cfg.driver_verify_bytes):
+        # auto-switch: tiny pair set — skip both hash joins and run the
+        # same Verifier kernel once on the driver (verify.verify_local;
+        # output identical, tests/test_scale_paths.py). Pairs reference
+        # winners only, but fetching from `docs` (already materialized)
+        # is equivalent and avoids composing with the loser filter.
+        from miekki_ray.stages.verify import verify_local
+        verified = verify_local(pairs, docs, cfg)
     else:
         # join against the deduped docs only: pairs reference unique_docs
         # exclusively, so loser rows would be dead weight through both hash
@@ -137,6 +148,19 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     metrics["stage_sec"] = stage_sec
     return DedupResult(clusters=clusters, edges=edges, verified=verified,
                        docs=docs, metrics=metrics)
+
+
+def _est_pair_doc_bytes(docs: ray.data.Dataset, n_pairs: int) -> int:
+    """Estimated driver bytes to fetch the ≤ 2·n_pairs docs a pair set
+    references: average row bytes of the materialized docs table (both
+    size_bytes and count are metadata-free on a MaterializedDataset).
+    An estimate, not a bound — a pathological corpus (one doc_len_cap doc
+    among tiny ones) can exceed it, which is why driver_verify_pairs also
+    caps the pair count."""
+    n_docs = docs.count()
+    if n_docs == 0:
+        return 0
+    return int(docs.size_bytes() / n_docs * min(2 * n_pairs, n_docs))
 
 
 def _cluster_and_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,

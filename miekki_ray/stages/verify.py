@@ -165,6 +165,47 @@ def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
     )
 
 
+def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
+                 cfg: DedupConfig) -> ray.data.Dataset:
+    """Driver-narrow verify fast path (auto-switched by pipelines/dedup
+    below cfg.driver_verify_pairs/_bytes): for a tiny candidate set, the
+    two distributed hash joins of ``attach_docs`` are pure
+    aggregator-actor startup (the r2 dedup_documents_sf bench regression
+    was ~3 s of exactly this). Fetch the pairs, broadcast-filter the
+    docs table to the referenced conv_ids (ONE executor run), and run
+    the SAME ``Verifier`` kernel once on the driver — per-pair results
+    depend only on the pair's two docs, so the output is identical to
+    the distributed path (pinned by tests/test_scale_paths.py)."""
+    import ray as _ray
+
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return empty_verified()
+    ids = pd.unique(pd.concat([pdf["a"], pdf["b"]], ignore_index=True))
+    ref = _ray.put(pd.Index(ids.astype(str)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        want = _ray.get(ref)
+        mask = pd.Index(batch["conv_id"].to_pandas().astype(str)).isin(want)
+        return batch.filter(pa.array(np.asarray(mask)))
+
+    need = (docs.select_columns(["conv_id", "doc"])
+            .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas())
+    dmap = dict(zip(need["conv_id"].astype(str), need["doc"]))
+    batch = pa.table({
+        "a": pa.array(pdf["a"].astype(str), type=pa.string()),
+        "b": pa.array(pdf["b"].astype(str), type=pa.string()),
+        "n_bands": pa.array(pdf["n_bands"].to_numpy(dtype=np.int32),
+                            type=pa.int32()),
+        "doc_a": pa.array([dmap[x] for x in pdf["a"].astype(str)],
+                          type=pa.large_string()),
+        "doc_b": pa.array([dmap[x] for x in pdf["b"].astype(str)],
+                          type=pa.large_string()),
+    })
+    return ray.data.from_arrow(Verifier(cfg)(batch))
+
+
 def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
                              threshold: float | None = None
                              ) -> ray.data.Dataset:

@@ -17,25 +17,41 @@ from miekki_ray.pipelines.dedup import dedup_datasets
 @pytest.fixture(scope="module")
 def both_results(small_corpus):
     turns, _ = small_corpus
+    # cfg_small takes every driver/broadcast fast path (incl. the r3
+    # verify_local switch); cfg_scale pins ALL limits to 0, forcing the
+    # fully-distributed variants (exact_dedup shuffle, attach_docs hash
+    # joins + distributed verify, label propagation) on the same corpus
     cfg_small = DedupConfig(num_partitions=4, sketch_concurrency=2)
     cfg_scale = DedupConfig(num_partitions=4, sketch_concurrency=2,
-                            broadcast_loser_limit=0, driver_edge_limit=0)
+                            broadcast_loser_limit=0, driver_edge_limit=0,
+                            driver_verify_pairs=0)
     a = dedup_datasets(ray.data.from_arrow(turns), cfg_small)
     b = dedup_datasets(ray.data.from_arrow(turns), cfg_scale)
     return (a.clusters.to_pandas(), b.clusters.to_pandas(),
-            a.metrics, b.metrics)
+            a.metrics, b.metrics, a.verified.to_pandas(),
+            b.verified.to_pandas())
 
 
 def test_scale_paths_identical_clusters(both_results):
-    small, scale, _, _ = both_results
+    small, scale = both_results[0], both_results[1]
     s = small.sort_values("conv_id").reset_index(drop=True)
     t = scale.sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(s, t)
 
 
 def test_scale_paths_same_component_count(both_results):
-    _, _, ma, mb = both_results
+    ma, mb = both_results[2], both_results[3]
     assert ma["n_components"] == mb["n_components"]
+
+
+def test_verify_local_matches_distributed(both_results):
+    """r3 verify_local auto-switch: the driver-narrow verify (no hash
+    joins) must produce the BIT-identical verified table the distributed
+    attach_docs + verify_pairs chain produces."""
+    va, vb = both_results[4], both_results[5]
+    va = va.sort_values(["a", "b"]).reset_index(drop=True)
+    vb = vb.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(va, vb)
 
 
 def _crlf_corpus():
