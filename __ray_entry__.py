@@ -569,45 +569,17 @@ def _documents_pack_bins(sf_dir: str):
 
 
 def _containment_pairs(sf_dir: str):
-    """ST3 suffix-array containment made driver-visible: all (a, b) doc
-    pairs where one text is a full substring of the other, confirmed by
-    the suffix-array LCS kernel (functions/suffix.py — ratio must be
-    1.0), candidates proposed by a broadcast-corpus substring prefilter.
-    Brute-force scope documented like the E8 accuracy baselines: the
-    corpus table is ray.put ONCE and scanned per batch; the scale path
-    for this shape is the prefix-sketch containment bands inside the
-    flagship (stages/sketch.py)."""
-    import numpy as np
-    import pandas as pd
-    import ray as _ray
-
-    from miekki_ray.functions.suffix import containment_ratio
+    """ST3 suffix-array containment made driver-visible — r3 scale-shaped
+    rebuild (stages/containment.py): winnowing-fingerprint buckets propose
+    every pair whose contained side clears the Schleimer floor, a bounded
+    broadcast sweep covers sub-floor docs, and the suffix-array LCS kernel
+    confirms per pair after a keys-only distinct + adaptive-width text
+    join. No driver-side corpus materialization (the r2 to_pandas
+    broadcast is gone)."""
+    from miekki_ray.stages.containment import containment_pairs_ds
 
     docs = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
-    corpus = docs.to_pandas().sort_values("doc_id")
-    ref = _ray.put((corpus["doc_id"].to_numpy(np.int64),
-                    corpus["text"].tolist()))
-
-    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, texts = _ray.get(ref)
-        out_a, out_b = [], []
-        for bid, btxt in zip(batch["doc_id"].to_numpy(np.int64),
-                             batch["text"]):
-            for aid, atxt in zip(ids, texts):
-                if aid >= bid or atxt == btxt:
-                    continue
-                s, l = (atxt, btxt) if len(atxt) <= len(btxt) \
-                    else (btxt, atxt)
-                if s in l and containment_ratio(
-                        s.encode(), l.encode()) >= 1.0:
-                    out_a.append(aid)
-                    out_b.append(bid)
-        return pd.DataFrame({
-            "a": pd.Series(out_a, dtype=np.int64),
-            "b": pd.Series(out_b, dtype=np.int64),
-            "contained": pd.Series([True] * len(out_a), dtype=bool)})
-
-    return docs.map_batches(pairs, batch_format="pandas").sort(["a", "b"])
+    return containment_pairs_ds(docs).sort(["a", "b"])
 
 
 def _documents_partitioned_sink(sf_dir: str):

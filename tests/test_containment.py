@@ -1,0 +1,76 @@
+"""Scale-shaped containment pairs (stages/containment.py, r3): winnowing
+candidate completeness (Schleimer floor + short-doc sweep), suffix-array
+confirmation, and driver-narrow vs distributed path equality."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from miekki_ray.stages.containment import containment_pairs_ds
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    filler = ("the quick brown fox jumps over the lazy dog while the "
+              "band plays on and the crowd cheers loudly for more ")
+    inner = ("a distinctive middle passage that appears verbatim inside "
+             "a much longer host document with plenty of context")
+    host = filler + inner + filler[::-1]
+    rows = [
+        (1, inner),                      # contained mid-host (>= floor)
+        (2, host),                       # the host
+        (3, host[:120]),                 # prefix of host (>= floor)
+        (4, "tiny needle text"),         # 16 bytes < floor (short sweep)
+        (5, filler + "tiny needle text" + filler),   # contains doc 4
+        (6, "completely unrelated content about gardening and weather "
+            "patterns across the southern hemisphere in early autumn"),
+        (7, inner),                      # EQUAL to doc 1 -> excluded
+    ]
+    return rows
+
+
+def _expected(rows):
+    want = set()
+    for i, (ai, at) in enumerate(rows):
+        for bi, bt in rows[i + 1:]:
+            if at != bt and (at in bt or bt in at):
+                want.add((min(ai, bi), max(ai, bi)))
+    return want
+
+
+def test_containment_driver_path(corpus):
+    out = containment_pairs_ds(_docs(corpus)).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == _expected(corpus)
+    assert out["contained"].all()
+
+
+def test_containment_distributed_path_identical(corpus):
+    a = containment_pairs_ds(_docs(corpus)).to_pandas()
+    b = containment_pairs_ds(_docs(corpus),
+                             driver_confirm_pairs=0).to_pandas()
+    key = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))
+
+
+def test_containment_no_pairs():
+    rows = [(1, "alpha unrelated content first document"),
+            (2, "totally different second text about nothing shared")]
+    out = containment_pairs_ds(_docs(rows)).to_pandas()
+    assert len(out) == 0
+
+
+def test_containment_short_doc_both_sides():
+    # both docs below the Schleimer floor: covered by the short sweep
+    rows = [(1, "needle"), (2, "the needle here"), (3, "zzz")]
+    out = containment_pairs_ds(_docs(rows)).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(1, 2)}
