@@ -22,7 +22,8 @@ import pyarrow as pa
 import ray.data
 
 from miekki_ray.config import DedupConfig
-from miekki_ray.functions.hashing import shingle_hashes
+from miekki_ray.functions.hashing import (shingle_hashes,
+                                          shingle_sets_from_arrow)
 from miekki_ray.functions.suffix import containment_ratio
 
 
@@ -100,42 +101,59 @@ class Verifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        a_ids = batch["a"].to_pylist()
-        b_ids = batch["b"].to_pylist()
-        doc_a = batch["doc_a"].to_pylist()
-        doc_b = batch["doc_b"].to_pylist()
-        n = len(a_ids)
-        # shingle each unique doc once per batch
-        cache: dict[str, np.ndarray] = {}
-        enc: dict[str, bytes] = {}
+        n = batch.num_rows
+        if n == 0:
+            return VERIFIED_SCHEMA.empty_table()
+        # --- unique docs across both sides, shingled in ONE rolling-hash
+        # pass over the Arrow buffers (same kernel as the sketcher;
+        # bit-identical to per-doc shingle_hashes)
+        a_ids = batch["a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["b"].to_numpy(zero_copy_only=False)
+        ids_all = np.concatenate([a_ids, b_ids])
+        uniq_ids, first, inv = np.unique(ids_all, return_index=True,
+                                         return_inverse=True)
+        code_a, code_b = inv[:n], inv[n:]
 
-        def hset(cid: str, doc: str) -> np.ndarray:
-            h = cache.get(cid)
-            if h is None:
-                e = doc.encode("utf-8")
-                enc[cid] = e
-                h = shingle_hashes(e, cfg.k)
-                cache[cid] = h
-            return h
+        def _chunks(c):
+            return list(c.chunks) if isinstance(c, pa.ChunkedArray) else [c]
 
-        jac = np.empty(n, dtype=np.float64)
-        cont = np.empty(n, dtype=np.float64)
-        lcs = np.zeros(n, dtype=np.float64)
+        big = pa.large_string()
+        docs_all = pa.chunked_array(
+            [ch.cast(big) for ch in _chunks(batch["doc_a"])]
+            + [ch.cast(big) for ch in _chunks(batch["doc_b"])]
+        ).combine_chunks()
+        uniq_docs = docs_all.take(pa.array(first, type=pa.int64()))
+        sets, _ = shingle_sets_from_arrow(uniq_docs, cfg.k)
+        sizes = np.array([s.size for s in sets], dtype=np.int64)
+
+        # --- per-pair intersect over the cached unique sets. MEASURED
+        # (r3, microbench + 4-cpu flagship profile): the r2-verdict
+        # hypothesis that a concatenated (pair, hash) sort-merge would
+        # beat this loop is REFUTED — per 1024-pair batch of ~2k-shingle
+        # docs, intersect1d on L2-resident arrays runs 0.036 s vs 1.53 s
+        # for a global lexsort (0.28 s cache-blocked): the merge streams
+        # ~32 MB of temporaries through DRAM, the box's scarcest resource
+        # (same lesson as minhash_from_concat's cache blocking; the
+        # lexsort variant measured verify_edges 63 s -> 170 s at 4 cpus).
+        # The verify stage's wall is the pairs⨝docs joins, not this loop.
+        inter = np.empty(n, dtype=np.float64)
         for i in range(n):
-            ha = hset(a_ids[i], doc_a[i])
-            hb = hset(b_ids[i], doc_b[i])
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
-            union = ha.size + hb.size - inter
-            jac[i] = inter / union if union else 1.0
-            m = min(ha.size, hb.size)
-            cont[i] = inter / m if m else 1.0
+            inter[i] = np.intersect1d(sets[code_a[i]], sets[code_b[i]],
+                                      assume_unique=True).size
+
+        union = sizes[code_a] + sizes[code_b] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        m = np.minimum(sizes[code_a], sizes[code_b])
+        cont = np.where(m > 0, inter / np.maximum(m, 1), 1.0)
+        lcs = np.zeros(n, dtype=np.float64)
         verified = jac >= cfg.jaccard_threshold
         if cfg.containment_enabled:
             # ST3: only pairs failing Jaccard but passing the shingle
             # containment pre-gate pay for the suffix-array LCS
             for i in np.flatnonzero(~verified
                                     & (cont >= cfg.containment_threshold)):
-                ea, eb = enc[a_ids[i]], enc[b_ids[i]]
+                ea = uniq_docs[code_a[i]].as_py().encode("utf-8")
+                eb = uniq_docs[code_b[i]].as_py().encode("utf-8")
                 short, long_ = (ea, eb) if len(ea) <= len(eb) else (eb, ea)
                 lcs[i] = containment_ratio(short, long_)
         return pa.table({
