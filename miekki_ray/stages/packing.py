@@ -29,14 +29,28 @@ from miekki_ray.functions.textstats import whitespace_token_count
 
 def pack_bins(docs: ray.data.Dataset, *, budget: int = 2048,
               id_col: str = "doc_id", text_col: str = "text",
-              num_partitions: int = 16) -> ray.data.Dataset:
-    """Returns (id_col, n_tokens:int64, bin:int64). Token counting uses
-    the ASCII-whitespace kernel shared with doc_token_counts, so the
-    oracle can restate it with the same string_split_regex class."""
+              num_partitions: int = 16,
+              tokenizer: str = "whitespace") -> ray.data.Dataset:
+    """Returns (id_col, n_tokens:int64, bin:int64).
+
+    tokenizer='whitespace' (default) counts with the ASCII-whitespace
+    kernel shared with doc_token_counts, so the oracle can restate it
+    with the same string_split_regex class. tokenizer='bpe' counts with
+    the vendored byte-level BPE (functions/bpe.py — production shape for
+    LM packing; pinned by pytest golden, not SQL-expressible). The
+    prefix-scan machinery is tokenizer-independent."""
+    if tokenizer == "bpe":
+        from miekki_ray.functions.bpe import bpe_token_count as _count
+    elif tokenizer == "whitespace":
+        _count = whitespace_token_count
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} "
+                         "(expected 'whitespace' or 'bpe')")
+
     def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(dtype=np.int64),
-            "n_tokens": whitespace_token_count(batch[text_col]),
+            "n_tokens": _count(batch[text_col]),
         })
 
     slim = docs.map_batches(count_tokens,

