@@ -225,6 +225,16 @@ def _ann_ivf(sf_dir: str):
     return ivf_topk(emb, _query_vecs(sf_dir), k=10)
 
 
+def _ann_lsh_partitioned(sf_dir: str):
+    """Cluster-scale LSH top-k: bucket-keyed groupby (members co-locate),
+    unprobed buckets pruned before the shuffle. Rows-only; pinned
+    output-identical to ann_topk_lsh's filter construction by pytest."""
+    from miekki_ray.stages.similarity import lsh_topk_partitioned
+
+    emb = _read_tbl(sf_dir, "embeddings")
+    return lsh_topk_partitioned(emb, _query_vecs(sf_dir), k=10)
+
+
 def _ann_ivf_partitioned(sf_dir: str):
     """Cluster-scale IVF (r3): cell-keyed groupby co-locates each Voronoi
     cell, unprobed cells pruned before the shuffle, centroids a persisted
@@ -566,6 +576,18 @@ def _documents_pack_bins(sf_dir: str):
 
     ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
     return pack_bins(ds, budget=512).sort("doc_id")
+
+
+def _documents_pack_bins_bpe(sf_dir: str):
+    """E44/E45: the same packing scan binned by BYTE-LEVEL BPE token
+    counts (functions/bpe.py, vendored merge table) — the production LM
+    shape. Rows-only: subword counts aren't SQL-expressible; the encoder
+    is pinned by pytest goldens and the scan machinery by the
+    whitespace-tokenizer twin's hash-green oracle."""
+    from miekki_ray.stages.packing import pack_bins
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return pack_bins(ds, budget=512, tokenizer="bpe").sort("doc_id")
 
 
 def _containment_pairs(sf_dir: str):
@@ -1009,6 +1031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_next10m": _events_range_next10m,
         "documents_approx_distinct": _documents_approx_distinct,
         "documents_jsonl_agg": _documents_jsonl_agg,
+        "documents_pack_bins_bpe": _documents_pack_bins_bpe,
+        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
     }
 
 

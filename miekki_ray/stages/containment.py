@@ -74,8 +74,8 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
         ids_out: list[np.ndarray] = []
         fps_out: list[np.ndarray] = []
         ids = batch[id_col].to_numpy(dtype=np.int64)
-        for i, t in enumerate(batch[text_col]):
-            f = winnow_fingerprints(t or "", k=k, window=window)
+        for i, t in enumerate(batch[text_col].fillna("")):
+            f = winnow_fingerprints(t, k=k, window=window)
             fps_out.append(f)
             ids_out.append(np.full(f.size, ids[i], dtype=np.int64))
         if not ids_out:

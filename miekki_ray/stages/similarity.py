@@ -180,6 +180,86 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     return _rank_topk(parts, k, id_col)
 
 
+def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
+                         k: int = 10, n_planes: int = 8, seed: int = 7,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """Cluster-scale LSH top-k (companion to ivf_topk_partitioned, same
+    construction): the hyperplane bucket id KEYS A GROUPBY so bucket
+    members co-locate, vectors in buckets no query hashes to are dropped
+    BEFORE the shuffle, and each surviving bucket runs one
+    (members × its-queries) matmul. Same semantics as lsh_topk (a query
+    scores only its own bucket — recall < 1 by design); identical output
+    pinned by test."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    params = _LSHParams(qn.shape[1], n_planes, seed)
+    qbuckets = params.bucket(qn)                      # (nq,) int64
+    # invert driver-side: bucket -> probing query idxs (<= nq entries)
+    bq: dict[int, np.ndarray] = {}
+    for qi, b in enumerate(qbuckets):
+        bq.setdefault(int(b), []).append(qi)          # type: ignore[arg-type]
+    bq = {b: np.asarray(v, dtype=np.int32) for b, v in bq.items()}
+    ref = ray.put((qn, bq, params.planes))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                          id_col: pa.array([], type=pa.int64()),
+                          vec_col: pa.array([], type=pa.large_list(
+                              pa.float64()))})
+        if batch.num_rows == 0:
+            return empty
+        q, buckets, planes = ray.get(ref)
+        m = _normalize(_mat(batch, vec_col, np.float64))
+        mb = (m @ planes > 0) @ (1 << np.arange(planes.shape[1],
+                                                dtype=np.int64))
+        keep = np.isin(mb, np.fromiter(buckets.keys(), dtype=np.int64))
+        if not keep.any():
+            return empty
+        ki = np.flatnonzero(keep)
+        return pa.table({
+            "bucket": pa.array(mb[ki], type=pa.int64()),
+            id_col: pa.array(batch[id_col].to_numpy(
+                zero_copy_only=False)[ki], type=pa.int64()),
+            vec_col: pa.array(list(m[ki]), type=pa.large_list(pa.float64())),
+        })
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_idx": pd.Series([], dtype=np.int32),
+            id_col: pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64)})
+        if len(group) == 0:
+            return empty
+        q, buckets, _ = ray.get(ref)
+        out = [empty]
+        for b, grp in group.groupby("bucket", sort=False):
+            qids = buckets.get(int(b))
+            if qids is None:
+                continue
+            m = np.stack(grp[vec_col].map(np.asarray).to_list())
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            s = m @ q[qids].T
+            kk = min(k, m.shape[0])
+            for col, qi in enumerate(qids):
+                idx = _det_topk_idx(s[:, col], ids, kk)
+                out.append(pd.DataFrame({
+                    "query_idx": np.full(kk, qi, dtype=np.int32),
+                    id_col: ids[idx],
+                    "score": s[idx, col].astype(np.float64)}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = (embeddings.map_batches(assign, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+             .groupby("bucket").map_groups(per_bucket,
+                                           batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        parts = pd.DataFrame({"query_idx": pd.Series([], dtype=np.int32),
+                              id_col: pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.float64)})
+    return _rank_topk(parts, k, id_col)
+
+
 def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
                 n_iter: int = 10) -> np.ndarray:
     """Tiny deterministic Lloyd k-means on UNIT vectors (cosine ≡ dot) —

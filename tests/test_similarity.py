@@ -168,3 +168,18 @@ def test_bruteforce_guards_fire(emb_ds):
     cfg = DedupConfig(num_partitions=2, sketch_concurrency=2)
     with pytest.raises(ValueError, match="flagship LSH"):
         jaccard_pairs_bruteforce(docs, cfg, max_rows=10)
+
+
+def test_lsh_partitioned_matches_filter_variant(emb_ds):
+    """lsh_topk_partitioned (bucket-keyed groupby) must produce the
+    IDENTICAL result to lsh_topk (per-batch bucket filter) — same planes,
+    same bucket semantics, different physical plan."""
+    from miekki_ray.stages.similarity import lsh_topk_partitioned
+
+    ds, base = emb_ds
+    q = base[:4]
+    a = lsh_topk(ds, q, k=5)
+    b = lsh_topk_partitioned(ds, q, k=5)
+    key = lambda df: df.sort_values(
+        ["query_idx", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a), key(b))
