@@ -133,6 +133,59 @@ def winnow_fingerprints(text: str, k: int = 12,
     return np.unique(win.min(axis=1))
 
 
+def winnow_sets_from_arrow(col, k: int = 12,
+                           window: int = 32) -> list[np.ndarray]:
+    """Batch winnowing: per-doc Schleimer fingerprint sets for a whole
+    Arrow string column in ONE chunked rolling-hash pass — the same
+    chassis as hashing.shingle_sets_from_arrow (doc-aligned ~64 KB chunks
+    keep the rolling hash's temporaries L2-resident; the window hash
+    depends only on its own bytes, so chunk passes are bit-identical to
+    per-doc passes). Bit-identical to per-doc ``winnow_fingerprints``
+    (pinned by pytest); the per-doc remainder is two numpy kernels
+    (sliding-window min + unique), not an encode + rolling pass."""
+    import pyarrow as pa
+
+    from miekki_ray.functions.hashing import U64, shingle_hashes_ordered
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    off_dtype = (np.int64 if pa.types.is_large_string(col.type)
+                 else np.int32)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
+    out: list[np.ndarray] = []
+    CHUNK = 64 * 1024
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and offs[j + 1] - offs[i] <= CHUNK:
+            j += 1
+        cs, ce = offs[i], offs[j]
+        big = (shingle_hashes_ordered(data[cs:ce].tobytes(), k)
+               if ce - cs >= k else np.empty(0, dtype=U64))
+        for d in range(i, j):
+            s, e = offs[d] - cs, offs[d + 1] - cs
+            # sub-k doc: the degenerate whole-doc hash can't come from the
+            # chunk pass (its windows cross doc boundaries) — per-doc
+            # fallback on < k bytes is O(k)
+            h = (big[s:e - k + 1] if e - s >= k
+                 else shingle_hashes_ordered(data[cs + s:cs + e].tobytes(),
+                                             k))
+            if h.size <= window:
+                out.append(np.unique(h.min(keepdims=True)))
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                out.append(np.unique(win.min(axis=1)))
+        i = j
+    return out
+
+
 def doc_fingerprint(texts: pd.Series, window: int = 64) -> np.ndarray:
     """Winnowing-style fingerprint: min rolling-hash over `window`-byte
     shingles — a compact 64-bit content id robust to small local edits at

@@ -174,14 +174,23 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
 
     # symmetric edge list (node, other, is_label=False) — static per run
     def seed(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        node = a + b
-        other = b + a
+        if batch.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], type=pa.string()),
+                "other": pa.array([], type=pa.string()),
+                "is_label": pa.array([], type=pa.bool_()),
+            })
+
+        def _chunks(c):
+            return list(c.chunks) if isinstance(c, pa.ChunkedArray) else [c]
+
+        ca, cb = _chunks(batch["a"]), _chunks(batch["b"])
+        node = pa.chunked_array(ca + cb).combine_chunks()
+        other = pa.chunked_array(cb + ca).combine_chunks()
         return pa.table({
-            "node": pa.array(node, type=pa.string()),
-            "other": pa.array(other, type=pa.string()),
-            "is_label": pa.array([False] * len(node), type=pa.bool_()),
+            "node": node,
+            "other": other,
+            "is_label": pa.array(np.zeros(len(node), dtype=bool)),
         })
 
     edges_sym = e.map_batches(seed, batch_format="pyarrow").materialize()

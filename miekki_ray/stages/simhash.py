@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data
 
 from miekki_ray.config import DedupConfig
-from miekki_ray.functions.hashing import shingle_hashes
+from miekki_ray.functions.hashing import shingle_sets_from_arrow
 
 
 def simhash_from_hashes(h: np.ndarray) -> np.uint64:
@@ -74,9 +74,9 @@ class SimHasher:
         self.cfg = cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        k = self.cfg.k
-        sets = [shingle_hashes(d.encode("utf-8"), k)
-                for d in batch["doc"].to_pylist()]
+        # batch-wide Arrow shingling (bit-identical to per-doc
+        # shingle_hashes — hashing.shingle_sets_from_arrow docstring)
+        sets, _ = shingle_sets_from_arrow(batch["doc"], self.cfg.k)
         sigs = simhash_batch(sets)
         return batch.append_column("simhash",
                                    pa.array(sigs, type=pa.uint64()))

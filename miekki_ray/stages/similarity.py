@@ -19,6 +19,18 @@ import ray.data
 from miekki_ray.functions.textstats import round_half_away
 
 
+def _list_col(m: np.ndarray) -> pa.LargeListArray:
+    """(n, d) float64 matrix -> large_list<float64> column without boxing
+    each row as a Python list (the r3 partitioned-ANN assign stages ship
+    the kept vectors through a shuffle; one flat buffer + offsets beats
+    n small object allocations)."""
+    n, d = m.shape
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64),
+                    type=pa.int64())
+    return pa.LargeListArray.from_arrays(
+        offs, pa.array(np.ascontiguousarray(m).ravel(), type=pa.float64()))
+
+
 def _mat(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
@@ -133,7 +145,9 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     At cluster scale the bucket assignment would key a groupby so each
     bucket's candidates co-locate; here buckets filter the per-batch
     matmul, which demonstrates identical semantics with the same
-    broadcast-query pattern."""
+    broadcast-query pattern. ``lsh_topk_partitioned`` below IS that
+    cluster-scale construction (pinned output-identical by pytest) —
+    this filter variant is kept as the semantics reference."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     d = qn.shape[1]
     params = _LSHParams(d, n_planes, seed)
@@ -220,38 +234,48 @@ def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
             "bucket": pa.array(mb[ki], type=pa.int64()),
             id_col: pa.array(batch[id_col].to_numpy(
                 zero_copy_only=False)[ki], type=pa.int64()),
-            vec_col: pa.array(list(m[ki]), type=pa.large_list(pa.float64())),
+            vec_col: _list_col(m[ki]),
         })
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "query_idx": pd.Series([], dtype=np.int32),
-            id_col: pd.Series([], dtype=np.int64),
-            "score": pd.Series([], dtype=np.float64)})
-        if len(group) == 0:
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # Arrow group format: the vectors land as one flat float64 buffer
+        # (_mat reshapes zero-copy), never as boxed object cells
+        empty = pa.table({
+            "query_idx": pa.array([], type=pa.int32()),
+            id_col: pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+        if group.num_rows == 0:
             return empty
         q, buckets, _ = ray.get(ref)
-        out = [empty]
-        for b, grp in group.groupby("bucket", sort=False):
+        keys = group["bucket"].to_numpy(zero_copy_only=False)
+        m_all = _mat(group, vec_col, np.float64)
+        ids_all = group[id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_q, out_i, out_s = [], [], []
+        for b in np.unique(keys):
             qids = buckets.get(int(b))
             if qids is None:
                 continue
-            m = np.stack(grp[vec_col].map(np.asarray).to_list())
-            ids = grp[id_col].to_numpy(dtype=np.int64)
+            sel = np.flatnonzero(keys == b)
+            m, ids = m_all[sel], ids_all[sel]
             s = m @ q[qids].T
             kk = min(k, m.shape[0])
             for col, qi in enumerate(qids):
                 idx = _det_topk_idx(s[:, col], ids, kk)
-                out.append(pd.DataFrame({
-                    "query_idx": np.full(kk, qi, dtype=np.int32),
-                    id_col: ids[idx],
-                    "score": s[idx, col].astype(np.float64)}))
-        return pd.concat(out, ignore_index=True)
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_i.append(ids[idx])
+                out_s.append(s[idx, col].astype(np.float64))
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
+            id_col: pa.array(np.concatenate(out_i), type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
 
     parts = (embeddings.map_batches(assign, batch_format="pyarrow",
                                     zero_copy_batch=True)
              .groupby("bucket").map_groups(per_bucket,
-                                           batch_format="pandas")
+                                           batch_format="pyarrow")
              .to_pandas())
     if parts.empty:
         parts = pd.DataFrame({"query_idx": pd.Series([], dtype=np.int32),
@@ -293,7 +317,10 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
 
     At cluster scale the cell id would key a groupby so cells co-locate;
     here cells filter the per-batch matmul (same broadcast-query pattern
-    as lsh_topk), which keeps semantics identical."""
+    as lsh_topk), which keeps semantics identical.
+    ``ivf_topk_partitioned`` below IS that cluster-scale construction
+    (cell-keyed groupby, persisted centroids, recall gate) — this filter
+    variant is kept as the semantics reference."""
     sample_tbl = embeddings.limit(train_sample).to_pandas()
     sm = _normalize(np.stack(
         sample_tbl[vec_col].map(np.asarray).to_list()).astype(np.float64))
@@ -421,37 +448,48 @@ def ivf_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
                 zero_copy_only=False)[ki], type=pa.int64()),
             # normalized f64 rows as list column: the per-cell task scores
             # without re-normalizing
-            vec_col: pa.array(list(m[ki]), type=pa.large_list(pa.float64())),
+            vec_col: _list_col(m[ki]),
         })
 
-    def per_cell(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "query_idx": pd.Series([], dtype=np.int32),
-            id_col: pd.Series([], dtype=np.int64),
-            "score": pd.Series([], dtype=np.float64)})
-        if len(group) == 0:
+    def per_cell(group: pa.Table) -> pa.Table:
+        # Arrow group format: the vectors land as one flat float64 buffer
+        # (_mat reshapes zero-copy), never as boxed object cells
+        empty = pa.table({
+            "query_idx": pa.array([], type=pa.int32()),
+            id_col: pa.array([], type=pa.int64()),
+            "score": pa.array([], type=pa.float64())})
+        if group.num_rows == 0:
             return empty
         q, cq = ray.get(ref)
-        out = [empty]
-        for cell, grp in group.groupby("cell", sort=False):
+        keys = group["cell"].to_numpy(zero_copy_only=False)
+        m_all = _mat(group, vec_col, np.float64)
+        ids_all = group[id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_q, out_i, out_s = [], [], []
+        for cell in np.unique(keys):
             qids = cq[int(cell)]
             if qids.size == 0:
                 continue
-            m = np.stack(grp[vec_col].map(np.asarray).to_list())
-            ids = grp[id_col].to_numpy(dtype=np.int64)
+            sel = np.flatnonzero(keys == cell)
+            m, ids = m_all[sel], ids_all[sel]
             s = m @ q[qids].T                       # (cell_size, n_probing)
             kk = min(k, m.shape[0])
             for col, qi in enumerate(qids):
                 idx = _det_topk_idx(s[:, col], ids, kk)
-                out.append(pd.DataFrame({
-                    "query_idx": np.full(kk, qi, dtype=np.int32),
-                    id_col: ids[idx],
-                    "score": s[idx, col].astype(np.float64)}))
-        return pd.concat(out, ignore_index=True)
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_i.append(ids[idx])
+                out_s.append(s[idx, col].astype(np.float64))
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
+            id_col: pa.array(np.concatenate(out_i), type=pa.int64()),
+            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
 
     grouped = (embeddings.map_batches(assign, batch_format="pyarrow",
                                       zero_copy_batch=True)
-               .groupby("cell").map_groups(per_cell, batch_format="pandas"))
+               .groupby("cell").map_groups(per_cell,
+                                           batch_format="pyarrow"))
     parts = grouped.to_pandas()
     if parts.empty:
         parts = pd.DataFrame({"query_idx": pd.Series([], dtype=np.int32),

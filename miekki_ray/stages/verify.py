@@ -22,8 +22,7 @@ import pyarrow as pa
 import ray.data
 
 from miekki_ray.config import DedupConfig
-from miekki_ray.functions.hashing import (shingle_hashes,
-                                          shingle_sets_from_arrow)
+from miekki_ray.functions.hashing import shingle_sets_from_arrow
 from miekki_ray.functions.suffix import containment_ratio
 
 
@@ -258,8 +257,7 @@ def jaccard_pairs_bruteforce(docs: ray.data.Dataset, cfg: DedupConfig,
     k = cfg.k
 
     def shingled(batch: pa.Table) -> pa.Table:
-        sets = [shingle_hashes(d.encode("utf-8"), k)
-                for d in batch["doc"].to_pylist()]
+        sets, _ = shingle_sets_from_arrow(batch["doc"], k)
         offs = np.zeros(len(sets) + 1, dtype=np.int64)
         np.cumsum([s.size for s in sets], out=offs[1:])
         flat = (np.concatenate(sets) if sets else

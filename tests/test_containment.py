@@ -74,3 +74,25 @@ def test_containment_short_doc_both_sides():
     rows = [(1, "needle"), (2, "the needle here"), (3, "zzz")]
     out = containment_pairs_ds(_docs(rows)).to_pandas()
     assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
+
+def test_winnow_batch_kernel_parity():
+    # the r3 Arrow batch winnowing must be bit-identical to the per-doc
+    # reference (same guarantee proof applies transitively)
+    import numpy as np
+    import pyarrow as pa
+
+    from miekki_ray.functions.textstats import (winnow_fingerprints,
+                                                winnow_sets_from_arrow)
+
+    texts = ["", "hi", "a" * 11, "b" * 12, "hello world " * 50,
+             "héllo wörld 🎉 " * 40, None, "x" * 10000,
+             "the quick brown fox " * 300, "short"]
+    for typ in (pa.string(), pa.large_string()):
+        col = pa.array(texts, type=typ)
+        for view, ref_texts in ((col, texts), (col.slice(2, 6), texts[2:8])):
+            got = winnow_sets_from_arrow(view, k=12, window=32)
+            assert len(got) == len(ref_texts)
+            for t, b in zip(ref_texts, got):
+                assert np.array_equal(
+                    winnow_fingerprints(t or "", k=12, window=32), b)

@@ -99,3 +99,21 @@ def test_clean_read_schema_surfaces_part_drift(tmp_path):
     pq.write_table(table(pa.int32()), d / "part-001.parquet")
     schema = clean_read_schema(str(d), TURN_COLUMNS)
     assert schema.names == TURN_COLUMNS
+
+
+def test_fnv1a_arrow_kernel_parity():
+    # the r3 buffer-native partition tag (runs once per TURN) must be
+    # bit-identical to the list-of-str reference
+    import numpy as np
+    import pyarrow as pa
+
+    from miekki_ray.stages.docs import _fnv1a_batch, _fnv1a_from_arrow
+
+    ids = [f"{i:012d}" for i in range(5000)] + ["", "héllo", "x" * 40]
+    for typ in (pa.string(), pa.large_string()):
+        col = pa.array(ids, type=typ)
+        assert np.array_equal(_fnv1a_batch(ids, 64),
+                              _fnv1a_from_arrow(col, 64))
+        assert np.array_equal(_fnv1a_batch(ids[5:90], 64),
+                              _fnv1a_from_arrow(col.slice(5, 85), 64))
+    assert _fnv1a_from_arrow(pa.array([], type=pa.string()), 64).size == 0
