@@ -68,14 +68,17 @@ class DedupConfig:
     # scale paths and assert identical output
     broadcast_loser_limit: int = 2_000_000   # exact-dup losers broadcastable
     driver_edge_limit: int = 2_000_000       # verified edges driver-UF-able
-    # below BOTH limits the verify stage skips its two hash joins and runs
-    # the SAME Verifier kernel once on the driver (verify.verify_local;
-    # r3 fix for the small-corpus fixed-overhead regression). 20k pairs is
-    # the same threshold at which join_width collapses to one partition —
-    # under it the joins are pure startup cost. The byte limit bounds the
-    # driver fetch via the docs table's average row bytes (estimate; the
-    # pathological bound is 2*pairs*doc_len_cap)
-    driver_verify_pairs: int = 20_000
+    # below BOTH limits the verify stage skips its two hash joins and
+    # assembles pair docs on the driver (verify.verify_local; r3 fix for
+    # the small-corpus fixed-overhead regression). Above ~4 batches the
+    # kernel fans back out via from_arrow slices, so only the doc FETCH
+    # is driver-bound and the byte limit is the real guard (estimate from
+    # the docs table's average row bytes; pathological bound is
+    # 2*pairs*doc_len_cap). Measured at 23k pairs / 32 cpus: attach_docs'
+    # two hash joins cost 2.2 s of aggregator startup vs 0.9 s of actual
+    # verify compute — the joins only pay for themselves when the pair
+    # table itself is too big to sit on the driver.
+    driver_verify_pairs: int = 200_000
     driver_verify_bytes: int = 512 * 2**20
 
     # --- physical execution ---

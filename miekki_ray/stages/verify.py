@@ -190,9 +190,15 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     aggregator-actor startup (the r2 dedup_documents_sf bench regression
     was ~3 s of exactly this). Fetch the pairs, broadcast-filter the
     docs table to the referenced conv_ids (ONE executor run), and run
-    the SAME ``Verifier`` kernel once on the driver — per-pair results
-    depend only on the pair's two docs, so the output is identical to
-    the distributed path (pinned by tests/test_scale_paths.py)."""
+    the SAME ``Verifier`` kernel — per-pair results depend only on the
+    pair's two docs, so the output is identical to the distributed path
+    (pinned by tests/test_scale_paths.py). Above ~4k pairs the kernel
+    itself fans back out via from_arrow + map_batches (r3: measured at
+    the bench corpus, 23k pairs — attach_docs' two hash joins cost
+    2.2 s of pure aggregator startup while the whole verify compute is
+    0.9 s at 32 cpus; skipping the joins but keeping the kernel
+    parallel wins on both counts). Only the doc FETCH is driver-bound,
+    which cfg.driver_verify_bytes bounds."""
     import ray as _ray
 
     pdf = pairs.to_pandas()
@@ -220,7 +226,17 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
         "doc_b": pa.array([dmap[x] for x in pdf["b"].astype(str)],
                           type=pa.large_string()),
     })
-    return ray.data.from_arrow(Verifier(cfg)(batch))
+    if batch.num_rows <= 4 * cfg.verify_batch_size:
+        return ray.data.from_arrow(Verifier(cfg)(batch))
+    # parallel kernel over the driver-assembled table: pre-sliced so each
+    # slice is its own block (from_arrow of ONE table = one block = one
+    # task), no joins, same per-pair results
+    step = cfg.verify_batch_size
+    slices = [batch.slice(i, step)
+              for i in range(0, batch.num_rows, step)]
+    return ray.data.from_arrow(slices).map_batches(
+        Verifier(cfg), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=step)
 
 
 def guard_bruteforce(n_rows: int, limit: int, op: str,
