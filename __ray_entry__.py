@@ -372,13 +372,15 @@ def _doc_winnow_fp(sf_dir: str):
     import pyarrow as pa
     import ray.data
 
-    from miekki_ray.functions.textstats import winnow_fingerprints
+    from miekki_ray.functions.textstats import winnow_sets_from_arrow
 
     ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sets = [winnow_fingerprints(t) for t in batch["text"].to_pylist()]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # batch-wide Arrow winnowing (bit-identical to per-doc
+        # winnow_fingerprints — parity pinned in tests/test_containment)
+        sets = winnow_sets_from_arrow(batch["text"])
         sizes = [s.size for s in sets]
         out_ids = np.repeat(np.asarray(ids, dtype=np.int64), sizes)
         flat = (np.concatenate(sets) if sets

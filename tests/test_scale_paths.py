@@ -102,3 +102,40 @@ def test_normalize_docs_off_keeps_variants_apart_and_doc_raw():
     assert cfg.config_hash() != DedupConfig(
         num_partitions=2, sketch_concurrency=2,
         normalize_docs=True).config_hash()
+
+
+def test_verify_local_fanout_branch_identical():
+    # r3: above 4*verify_batch_size pairs verify_local slices the
+    # driver-assembled table and fans the kernel out via map_batches;
+    # force that branch directly (45 pairs, batch size 4) and pin it
+    # against the inline (single-call) branch
+    import numpy as np
+
+    from miekki_ray.stages.verify import verify_local
+
+    docs_tbl = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(10)]),
+        "doc": pa.array([f"user: the quick brown fox {i} jumps over "
+                         f"the lazy dog again and again {i}" + "x" * i
+                         for i in range(10)], type=pa.large_string()),
+    })
+    ii, jj = np.triu_indices(10, k=1)
+    pairs_tbl = pa.table({
+        "a": pa.array([f"c{i}" for i in ii]),
+        "b": pa.array([f"c{j}" for j in jj]),
+        "n_bands": pa.array(np.ones(ii.size, dtype=np.int32)),
+    })
+    docs = ray.data.from_arrow(docs_tbl)
+    pairs = ray.data.from_arrow(pairs_tbl)
+    inline = verify_local(
+        pairs, docs, DedupConfig(num_partitions=4, sketch_concurrency=2)
+    ).to_pandas()
+    fanout = verify_local(
+        pairs, docs, DedupConfig(num_partitions=4, sketch_concurrency=2,
+                                 verify_batch_size=4)
+    ).to_pandas()
+    assert len(fanout) == ii.size
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        inline.sort_values(key).reset_index(drop=True),
+        fanout.sort_values(key).reset_index(drop=True))
