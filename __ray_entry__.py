@@ -569,6 +569,61 @@ def _documents_decontaminated(sf_dir: str):
     return decontaminate(cand, bench).sort("doc_id")
 
 
+def _conversation_stats(sf_dir: str):
+    """Transcript-domain conversation-level curation stats: per conv,
+    turn/role counts, total chars, and the long-conversation flag real
+    transcript filters gate on. One grouped agg over vectorized per-batch
+    pre-computes (combiner shape); conv_id-width exchange only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from miekki_ray.adapter import documents_as_multiturn_roled
+
+    ds = documents_as_multiturn_roled(sf_dir)
+
+    def pre(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "is_user": pc.cast(pc.equal(b["role"], "user"), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        })
+
+    g = (ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby("conv_id")
+         .aggregate(Count(alias_name="n_turns"),
+                    Sum("is_user", alias_name="n_user"),
+                    Sum("chars", alias_name="total_chars")))
+
+    def fin(b: pa.Table) -> pa.Table:
+        n_turns = b["n_turns"].to_numpy(zero_copy_only=False)
+        n_user = b["n_user"].to_numpy(zero_copy_only=False)
+        chars = b["total_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "n_turns": pa.array(n_turns, type=pa.int64()),
+            "n_user": pa.array(n_user, type=pa.int64()),
+            "n_assistant": pa.array(n_turns - n_user, type=pa.int64()),
+            "total_chars": pa.array(chars, type=pa.int64()),
+            "long_flag": pa.array(chars >= 1200, type=pa.bool_()),
+        })
+
+    return g.map_batches(fin, batch_format="pyarrow",
+                         zero_copy_batch=True).sort("conv_id")
+
+
+def _documents_dup_ngram_stats(sf_dir: str):
+    """E47 cross-document duplicate n-gram statistics (Gopher/Dolma-style
+    "duplicate n-gram fraction" dedup signal). Unlike decontaminate's
+    bounded-benchmark broadcast, document frequency here is computed with
+    a gram-hash groupby + hash join — the corpus is both sides. Oracle:
+    word-8-gram unnest + COUNT(DISTINCT doc) self-restatement."""
+    from miekki_ray.stages.scrub import dup_ngram_stats
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_stats(ds, num_partitions=_cfg().num_partitions)
+
+
 def _documents_pack_bins(sf_dir: str):
     """E44 sequence packing: global exclusive token prefix-sum in doc_id
     order, integer-divided by the 512-token budget = training-bin id,
@@ -934,6 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- scrub / curate / packing (LLM-pipeline ops) ---
         "documents_pii_redact": _documents_pii_redact,
         "documents_decontaminated": _documents_decontaminated,
+        "documents_dup_ngram_stats": _documents_dup_ngram_stats,
+        "conversation_stats": _conversation_stats,
         "documents_pack_bins": _documents_pack_bins,
         "documents_curated": _documents_curated,
         "documents_mix_sample": R.documents_mix_sample,
@@ -967,9 +1024,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_top_clusters": _documents_top_clusters,
         "dedup_cluster_stats": _dedup_cluster_stats,
         "media_decode": _media_decode,
-        "media_resize": _media_resize,
-        "media_frames": _media_frames,
-        "media_meta_stats": _media_stats,
         # --- new in r3 ---
         "orders_sorted": R.orders_sorted,
         "ann_topk_ivf_partitioned": _ann_ivf_partitioned,
@@ -1033,6 +1087,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_next10m": _events_range_next10m,
         "documents_approx_distinct": _documents_approx_distinct,
         "documents_jsonl_agg": _documents_jsonl_agg,
+        # media siblings ride behind the in-window media_decode family
+        # sentinel: rows-only stubs, lowest evidence-per-window-slot
+        "media_resize": _media_resize,
+        "media_frames": _media_frames,
+        "media_meta_stats": _media_stats,
         "documents_pack_bins_bpe": _documents_pack_bins_bpe,
         "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
     }
@@ -1806,6 +1865,58 @@ def oracle_sql() -> dict[str, str]:
                    d.doc_id IN (SELECT doc_id FROM hits) AS contaminated
             FROM documents d WHERE d.doc_id % 17 <> 3
             ORDER BY d.doc_id
+        """,
+        # E48: conversation-level curation stats over the roled
+        # multiturn mapping (conv = doc_id % 100, role by turn parity)
+        "conversation_stats": """
+            WITH t AS (
+              SELECT 'g' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                         AS conv_id,
+                     CASE WHEN (doc_id // 100) % 2 = 0 THEN 1 ELSE 0 END
+                         AS is_user,
+                     length(text) AS chars
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(is_user) AS BIGINT) AS n_user,
+                   CAST(count(*) - sum(is_user) AS BIGINT) AS n_assistant,
+                   CAST(sum(chars) AS BIGINT) AS total_chars,
+                   sum(chars) >= 1200 AS long_flag
+            FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        # E47: duplicate n-gram fraction — same tokenizer/gram build as
+        # decontaminate; per-doc DISTINCT grams, df = distinct docs
+        "documents_dup_ngram_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text,
+                         '[\s\x1c-\x1f]+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ws) - 7),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                                || ws[i+5] || ' ' || ws[i+6] || ' '
+                                || ws[i+7])) AS gram
+                FROM w WHERE len(ws) >= 8)
+            ), gd AS (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM g GROUP BY gram
+            ), per AS (
+              SELECT g.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(count(*) FILTER (gd.df > 1) AS BIGINT)
+                         AS n_shared
+              FROM g JOIN gd USING (gram) GROUP BY g.doc_id
+            )
+            SELECT doc_id, n_grams, n_shared,
+                   ROUND(n_shared * 1.0 / n_grams, 6) AS shared_ratio,
+                   ROUND(n_shared * 1.0 / n_grams, 6) >= 0.5 AS dup_flag
+            FROM per ORDER BY doc_id
         """,
         # E44: the window frame the distributed prefix scan restates;
         # token kernel identical to doc_token_counts

@@ -45,6 +45,31 @@ def documents_as_turns(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def documents_as_multiturn_roled(sf_dir: str) -> ray.data.Dataset:
+    """Same 100-conversation grouping, but with a deterministic
+    user/assistant role alternation on the TURN index (doc_id // 100) —
+    turns within a conversation alternate roles, the realistic
+    transcript shape (doc_id parity would be constant per conv since
+    turn members differ by multiples of 100). Separate from
+    ``documents_as_multiturn`` because the reconstruction oracle pins
+    that adapter's all-'user' doc prefix."""
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        roles = np.where((ids // 100) % 2 == 0, "user", "assistant")
+        return pa.table({
+            "conv_id": pa.array([f"g{i % 100:03d}" for i in ids],
+                                type=pa.string()),
+            "turn_idx": pa.array((ids // 100).astype(np.int32),
+                                 type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": batch["text"],
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def documents_as_multiturn(sf_dir: str) -> ray.data.Dataset:
     """100-conversation grouping for the reconstruction oracle check."""
     ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])

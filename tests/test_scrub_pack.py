@@ -118,3 +118,35 @@ def test_pack_bins_empty():
     df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                        "text": pd.Series([], dtype=str)})
     assert pack_bins(ray.data.from_pandas(df), budget=10).count() == 0
+
+
+def test_dup_ngram_stats_planted():
+    # n_words=3 to keep the fixture readable. Docs:
+    #  d1: 5 words -> 3 distinct grams; shares "a b c" and "b c d" with d2
+    #  d2: identical first 4 words -> grams "a b c","b c d" shared; "c d x"
+    #      unique
+    #  d3: fully unique grams
+    #  d4: repeated gram WITHIN the doc only -> distinct-per-doc, df=1
+    #  d5: 2 words -> below gram length, no row
+    from miekki_ray.stages.scrub import dup_ngram_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e",
+            "a b c d x",
+            "p q r s",
+            "m n o m n o",
+            "a b",
+        ],
+    })
+    out = (dup_ngram_stats(ray.data.from_pandas(df), n_words=3,
+                           flag_threshold=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    # d4 has 4 gram positions but "m n o" twice -> 3 DISTINCT grams,
+    # none shared with another doc (within-doc repeats don't count)
+    assert out["n_grams"].tolist() == [3, 3, 2, 3]
+    assert out["n_shared"].tolist() == [2, 2, 0, 0]
+    assert out.loc[0, "shared_ratio"] == round(2 / 3, 6)
+    assert out["dup_flag"].tolist() == [True, True, False, False]
