@@ -249,6 +249,20 @@ def run_scaling() -> dict:
 
     trials = int(os.environ.get("MIEKKI_SCALING_TRIALS", "3"))
 
+    # Trial-level checkpoint (MIEKKI_SCALING_CKPT=<path>): each completed
+    # fresh-process trial is appended as one JSON line; on start, finished
+    # trials are reused. Trials are independent subprocesses, so resuming
+    # is exactly equivalent to an uninterrupted run — this exists because
+    # the sandbox host restarts kill 45-75 min runs partway through.
+    ckpt_path = os.environ.get("MIEKKI_SCALING_CKPT")
+    ckpt: dict[tuple[int, int], dict] = {}
+    if ckpt_path and os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    ckpt[(rec["ncpu"], rec["trial"])] = rec["result"]
+
     def one_run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    MIEKKI_BENCH_CONVS=scaling_convs,
@@ -264,7 +278,17 @@ def run_scaling() -> dict:
         # code + input: 77-94 s observed at 16 cpus); min across
         # fresh-process trials is the standard noise-robust estimator of
         # unloaded capability, applied identically to BOTH legs
-        runs = [one_run(ncpu) for _ in range(trials)]
+        runs = []
+        for i in range(trials):
+            if (ncpu, i) in ckpt:
+                runs.append(ckpt[(ncpu, i)])
+                continue
+            r = one_run(ncpu)
+            runs.append(r)
+            if ckpt_path:
+                with open(ckpt_path, "a") as f:
+                    f.write(json.dumps(
+                        {"ncpu": ncpu, "trial": i, "result": r}) + "\n")
         return min(runs, key=lambda r: r["value"])
 
     lo, hi = one(lo_cpu), one(hi_cpu)
