@@ -247,7 +247,11 @@ def _ann_ivf_partitioned(sf_dir: str):
     from miekki_ray.stages.similarity import ivf_topk_partitioned
 
     emb = _read_tbl(sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]   # deterministic
+    # tag = corpus + full quantizer config + trainer code generation, so a
+    # /tmp leftover from another config or code round can never be loaded
+    # (ivf_centroids also validates shape and retrains on mismatch)
+    ident = f"{sf_dir}|nc=64|seed=7|train=4096|gen=1"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:12]   # deterministic
     art = os.path.join(tempfile.gettempdir(), f"ivf_cent_{tag}.npy")
     return ivf_topk_partitioned(emb, _query_vecs(sf_dir), k=10,
                                 artifact_path=art)
@@ -1037,6 +1041,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_exact": _jaccard_pairs_exact,
         "index_query_matches": _index_query_matches,
         "incremental_clusters": _incremental_clusters,
+        # 50th slot: never-driver-checked r3 op (lineitem_agg, previously
+        # here, is double-green r1+r2 and bench-covered — zero new
+        # evidence per window slot)
+        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
         # ================= driver 50-entry window ends here =============
         # relational stage library (DuckDB-oracled; driver-green r1+r2)
         "lineitem_agg": R.lineitem_agg,
@@ -1093,7 +1101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _media_frames,
         "media_meta_stats": _media_stats,
         "documents_pack_bins_bpe": _documents_pack_bins_bpe,
-        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
     }
 
 

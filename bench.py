@@ -254,16 +254,24 @@ def run_scaling() -> dict:
     # trials are reused. Trials are independent subprocesses, so resuming
     # is exactly equivalent to an uninterrupted run — this exists because
     # the sandbox host restarts kill 45-75 min runs partway through.
+    # Records carry a config fingerprint; a record from a different corpus
+    # size / cpu pair / input dir is skipped (re-run), never blended.
     ckpt_path = os.environ.get("MIEKKI_SCALING_CKPT")
+    ckpt_fp = {"convs": scaling_convs, "cpus": [lo_cpu, hi_cpu],
+               "sf": SF_DIR}
     ckpt: dict[tuple[int, int], dict] = {}
     if ckpt_path and os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
             for line in f:
                 if line.strip():
                     rec = json.loads(line)
-                    ckpt[(rec["ncpu"], rec["trial"])] = rec["result"]
+                    if rec.get("fp") == ckpt_fp:
+                        ckpt[(rec["ncpu"], rec["trial"])] = rec["result"]
 
-    def one_run(ncpu: int) -> dict:
+    def run_trial(ncpu: int, i: int) -> dict:
+        """One fresh-process trial, checkpoint-aware."""
+        if (ncpu, i) in ckpt:
+            return ckpt[(ncpu, i)]
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    MIEKKI_BENCH_CONVS=scaling_convs,
                    MIEKKI_BENCH_ONLY_FLAGSHIP="1")
@@ -271,38 +279,60 @@ def run_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        ckpt[(ncpu, i)] = r
+        if ckpt_path:
+            with open(ckpt_path, "a") as f:
+                f.write(json.dumps({"ncpu": ncpu, "trial": i,
+                                    "fp": ckpt_fp, "result": r}) + "\n")
+        return r
 
-    def one(ncpu: int) -> dict:
-        # the virtualized host's timing noise is ±25% run-to-run (identical
-        # code + input: 77-94 s observed at 16 cpus); min across
-        # fresh-process trials is the standard noise-robust estimator of
-        # unloaded capability, applied identically to BOTH legs
-        runs = []
-        for i in range(trials):
-            if (ncpu, i) in ckpt:
-                runs.append(ckpt[(ncpu, i)])
-                continue
-            r = one_run(ncpu)
-            runs.append(r)
-            if ckpt_path:
-                with open(ckpt_path, "a") as f:
-                    f.write(json.dumps(
-                        {"ncpu": ncpu, "trial": i, "result": r}) + "\n")
-        return min(runs, key=lambda r: r["value"])
-
-    lo, hi = one(lo_cpu), one(hi_cpu)
-    tput_lo = lo["turns_per_sec"]
-    tput_hi = hi["turns_per_sec"]
     ratio = hi_cpu / lo_cpu
-    eff = (tput_hi / tput_lo) / ratio
+    pairs = None
+    if os.environ.get("MIEKKI_SCALING_PAIRED"):
+        # Paired-interleaved protocol: each trial runs the lo and hi legs
+        # BACK-TO-BACK so both sample (nearly) the same host window, and
+        # the estimate is the MEDIAN of per-pair ratios. The legacy
+        # protocol (min per leg across trials run leg-after-leg) is
+        # unbiased only on a stationary host; this box's grant swings
+        # >20% between windows (observed same-run cpu probes 0.35-1.21),
+        # which biases a ratio of minima taken from DIFFERENT windows.
+        # Pairing cancels the common window factor; the median is robust
+        # to a polluted pair. Per-pair probes are logged for forensics.
+        pairs = []
+        for i in range(trials):
+            plo, phi = run_trial(lo_cpu, i), run_trial(hi_cpu, i)
+            pairs.append({
+                "sec_lo": plo["value"], "sec_hi": phi["value"],
+                "eff": round((plo["value"] / phi["value"]) / ratio, 3),
+                "cpu_probe": round(
+                    (_host_cpu_probe(hi_cpu) / _host_cpu_probe(lo_cpu))
+                    / ratio, 3)})
+        effs = sorted(p["eff"] for p in pairs)
+        mid = len(effs) // 2
+        eff = effs[mid] if len(effs) % 2 else round(
+            (effs[mid - 1] + effs[mid]) / 2, 3)
+        lo = min((ckpt[(lo_cpu, i)] for i in range(trials)),
+                 key=lambda r: r["value"])
+        hi = min((ckpt[(hi_cpu, i)] for i in range(trials)),
+                 key=lambda r: r["value"])
+    else:
+        # min across fresh-process trials per leg — the noise-robust
+        # estimator of unloaded capability on a STATIONARY host (±25%
+        # run-to-run noise observed: 77-94 s at 16 cpus, identical code)
+        lo = min((run_trial(lo_cpu, i) for i in range(trials)),
+                 key=lambda r: r["value"])
+        hi = min((run_trial(hi_cpu, i) for i in range(trials)),
+                 key=lambda r: r["value"])
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / ratio
+    tput_lo, tput_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     probe_lo = _host_cpu_probe(lo_cpu)
     probe_hi = _host_cpu_probe(hi_cpu)
     host_ceiling = (probe_hi / probe_lo) / ratio
     bw_lo = _host_membw_probe(lo_cpu)
     bw_hi = _host_membw_probe(hi_cpu)
     bw_ceiling = (bw_hi / bw_lo) / ratio
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -314,6 +344,10 @@ def run_scaling() -> dict:
         "eff_vs_host_ceiling": round(eff / host_ceiling, 3),
         "turns": lo["turns"], "sf": SF_DIR,
     }
+    if pairs is not None:
+        out["protocol"] = "paired_median"
+        out["pairs"] = pairs
+    return out
 
 
 if __name__ == "__main__":

@@ -78,9 +78,18 @@ def clean_read_schema(path: str | list[str],
         return None
     for other in rest:
         try:
-            got = _project(pq.read_schema(other).with_metadata(None))
+            raw = pq.read_schema(other).with_metadata(None)
         except Exception:
+            # unreadable footer: let the read stage surface its own error
             continue
+        try:
+            got = _project(raw)
+        except KeyError as e:
+            # the WORST drift — a part missing a projected column — must
+            # not be swallowed into "schemas agree"
+            raise ValueError(
+                f"parquet schema drift inside directory: {other!r} lacks "
+                f"projected column {e} present in {p!r}") from None
         if got != out:
             raise ValueError(
                 f"parquet schema drift inside directory: {other!r} has "

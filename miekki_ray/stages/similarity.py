@@ -194,50 +194,56 @@ def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     return _rank_topk(parts, k, id_col)
 
 
-def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
-                         k: int = 10, n_planes: int = 8, seed: int = 7,
-                         id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> pd.DataFrame:
-    """Cluster-scale LSH top-k (companion to ivf_topk_partitioned, same
-    construction): the hyperplane bucket id KEYS A GROUPBY so bucket
-    members co-locate, vectors in buckets no query hashes to are dropped
-    BEFORE the shuffle, and each surviving bucket runs one
-    (members × its-queries) matmul. Same semantics as lsh_topk (a query
-    scores only its own bucket — recall < 1 by design); identical output
-    pinned by test."""
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
-    params = _LSHParams(qn.shape[1], n_planes, seed)
-    qbuckets = params.bucket(qn)                      # (nq,) int64
-    # invert driver-side: bucket -> probing query idxs (<= nq entries)
-    bq: dict[int, np.ndarray] = {}
-    for qi, b in enumerate(qbuckets):
-        bq.setdefault(int(b), []).append(qi)          # type: ignore[arg-type]
-    bq = {b: np.asarray(v, dtype=np.int32) for b, v in bq.items()}
-    ref = ray.put((qn, bq, params.planes))
+def _lsh_keys(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Hyperplane bucket id per row (int64)."""
+    return (m @ planes > 0) @ (1 << np.arange(planes.shape[1],
+                                              dtype=np.int64))
+
+
+def _ivf_keys(m: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest-centroid (Voronoi cell) id per row (int64)."""
+    return np.argmax(m @ cent.T, axis=1).astype(np.int64)
+
+
+def _partitioned_topk(embeddings: ray.data.Dataset, qn: np.ndarray,
+                      probe: dict[int, np.ndarray], key_fn, key_state,
+                      k: int, id_col: str, vec_col: str,
+                      key_col: str) -> pd.DataFrame:
+    """THE cluster-scale ANN construction shared by the IVF and LSH
+    variants (one copy so a boundary/dtype fix can never drift between
+    them): the partition key (cell / bucket id) KEYS A GROUPBY so members
+    co-locate in one task; vectors whose key no query probes are dropped
+    BEFORE the shuffle (the exchange carries only the probed fraction of
+    the corpus); each surviving group runs one (members × its-queries)
+    matmul. ``probe`` maps key -> probing query idxs; ``key_fn(m, state)``
+    computes keys vectorized per batch."""
+    ref = ray.put((qn, probe, key_state))
+    probed_keys = np.fromiter(probe.keys(), dtype=np.int64)
 
     def assign(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+        empty = pa.table({key_col: pa.array([], type=pa.int64()),
                           id_col: pa.array([], type=pa.int64()),
                           vec_col: pa.array([], type=pa.large_list(
                               pa.float64()))})
         if batch.num_rows == 0:
             return empty
-        q, buckets, planes = ray.get(ref)
+        _, _, state = ray.get(ref)
         m = _normalize(_mat(batch, vec_col, np.float64))
-        mb = (m @ planes > 0) @ (1 << np.arange(planes.shape[1],
-                                                dtype=np.int64))
-        keep = np.isin(mb, np.fromiter(buckets.keys(), dtype=np.int64))
+        keys = key_fn(m, state)
+        keep = np.isin(keys, probed_keys)
         if not keep.any():
             return empty
         ki = np.flatnonzero(keep)
         return pa.table({
-            "bucket": pa.array(mb[ki], type=pa.int64()),
+            key_col: pa.array(keys[ki], type=pa.int64()),
             id_col: pa.array(batch[id_col].to_numpy(
                 zero_copy_only=False)[ki], type=pa.int64()),
+            # normalized f64 rows as list column: the per-group task
+            # scores without re-normalizing
             vec_col: _list_col(m[ki]),
         })
 
-    def per_bucket(group: pa.Table) -> pa.Table:
+    def per_group(group: pa.Table) -> pa.Table:
         # Arrow group format: the vectors land as one flat float64 buffer
         # (_mat reshapes zero-copy), never as boxed object cells
         empty = pa.table({
@@ -246,19 +252,19 @@ def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
             "score": pa.array([], type=pa.float64())})
         if group.num_rows == 0:
             return empty
-        q, buckets, _ = ray.get(ref)
-        keys = group["bucket"].to_numpy(zero_copy_only=False)
+        q, pr, _ = ray.get(ref)
+        keys = group[key_col].to_numpy(zero_copy_only=False)
         m_all = _mat(group, vec_col, np.float64)
         ids_all = group[id_col].to_numpy(
             zero_copy_only=False).astype(np.int64)
         out_q, out_i, out_s = [], [], []
-        for b in np.unique(keys):
-            qids = buckets.get(int(b))
-            if qids is None:
+        for key in np.unique(keys):
+            qids = pr.get(int(key))
+            if qids is None or qids.size == 0:
                 continue
-            sel = np.flatnonzero(keys == b)
+            sel = np.flatnonzero(keys == key)
             m, ids = m_all[sel], ids_all[sel]
-            s = m @ q[qids].T
+            s = m @ q[qids].T                   # (members, n_probing)
             kk = min(k, m.shape[0])
             for col, qi in enumerate(qids):
                 idx = _det_topk_idx(s[:, col], ids, kk)
@@ -274,14 +280,34 @@ def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
 
     parts = (embeddings.map_batches(assign, batch_format="pyarrow",
                                     zero_copy_batch=True)
-             .groupby("bucket").map_groups(per_bucket,
-                                           batch_format="pyarrow")
+             .groupby(key_col).map_groups(per_group,
+                                          batch_format="pyarrow")
              .to_pandas())
     if parts.empty:
         parts = pd.DataFrame({"query_idx": pd.Series([], dtype=np.int32),
                               id_col: pd.Series([], dtype=np.int64),
                               "score": pd.Series([], dtype=np.float64)})
     return _rank_topk(parts, k, id_col)
+
+
+def lsh_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
+                         k: int = 10, n_planes: int = 8, seed: int = 7,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """Cluster-scale LSH top-k: the hyperplane bucket id partitions the
+    corpus (see _partitioned_topk for the shared construction). Same
+    semantics as lsh_topk (a query scores only its own bucket —
+    recall < 1 by design); identical output pinned by test."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    params = _LSHParams(qn.shape[1], n_planes, seed)
+    qbuckets = params.bucket(qn)                      # (nq,) int64
+    # invert driver-side: bucket -> probing query idxs (<= nq entries)
+    bq: dict[int, list[int]] = {}
+    for qi, b in enumerate(qbuckets):
+        bq.setdefault(int(b), []).append(qi)
+    probe = {b: np.asarray(v, dtype=np.int32) for b, v in bq.items()}
+    return _partitioned_topk(embeddings, qn, probe, _lsh_keys,
+                             params.planes, k, id_col, vec_col, "bucket")
 
 
 def _kmeans_fit(sample: np.ndarray, n_centroids: int, seed: int,
@@ -381,7 +407,12 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_centroids: int = 64,
     import os
 
     if artifact_path and os.path.exists(artifact_path):
-        return np.load(artifact_path)
+        cent = np.load(artifact_path)
+        # validate before trusting: a stale artifact from a different
+        # config (or older trainer code) silently re-shapes cell_queries
+        # and degrades recall with no error — self-heal by retraining
+        if cent.ndim == 2 and cent.shape[0] == n_centroids:
+            return cent
     sample_tbl = embeddings.limit(train_sample).to_pandas()
     sm = _normalize(np.stack(
         sample_tbl[vec_col].map(np.asarray).to_list()).astype(np.float64))
@@ -422,80 +453,13 @@ def ivf_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
     np_eff = min(nprobe, cent.shape[0])
     qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, :np_eff]   # (nq, nprobe)
     # invert driver-side (n_centroids small): cell -> probing query idxs
-    cell_queries = [np.flatnonzero((qprobe == c).any(axis=1)).astype(
-        np.int32) for c in range(cent.shape[0])]
-    probed_cells = np.flatnonzero([q.size > 0 for q in cell_queries])
-    ref = ray.put((qn, cell_queries))
-    cref = ray.put((cent, probed_cells))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        empty = pa.table({"cell": pa.array([], type=pa.int32()),
-                          id_col: pa.array([], type=pa.int64()),
-                          vec_col: pa.array([], type=pa.large_list(
-                              pa.float64()))})
-        if batch.num_rows == 0:
-            return empty
-        c, probed = ray.get(cref)
-        m = _normalize(_mat(batch, vec_col, np.float64))
-        cells = np.argmax(m @ c.T, axis=1).astype(np.int32)
-        keep = np.isin(cells, probed)
-        if not keep.any():
-            return empty
-        ki = np.flatnonzero(keep)
-        return pa.table({
-            "cell": pa.array(cells[ki], type=pa.int32()),
-            id_col: pa.array(batch[id_col].to_numpy(
-                zero_copy_only=False)[ki], type=pa.int64()),
-            # normalized f64 rows as list column: the per-cell task scores
-            # without re-normalizing
-            vec_col: _list_col(m[ki]),
-        })
-
-    def per_cell(group: pa.Table) -> pa.Table:
-        # Arrow group format: the vectors land as one flat float64 buffer
-        # (_mat reshapes zero-copy), never as boxed object cells
-        empty = pa.table({
-            "query_idx": pa.array([], type=pa.int32()),
-            id_col: pa.array([], type=pa.int64()),
-            "score": pa.array([], type=pa.float64())})
-        if group.num_rows == 0:
-            return empty
-        q, cq = ray.get(ref)
-        keys = group["cell"].to_numpy(zero_copy_only=False)
-        m_all = _mat(group, vec_col, np.float64)
-        ids_all = group[id_col].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        out_q, out_i, out_s = [], [], []
-        for cell in np.unique(keys):
-            qids = cq[int(cell)]
-            if qids.size == 0:
-                continue
-            sel = np.flatnonzero(keys == cell)
-            m, ids = m_all[sel], ids_all[sel]
-            s = m @ q[qids].T                       # (cell_size, n_probing)
-            kk = min(k, m.shape[0])
-            for col, qi in enumerate(qids):
-                idx = _det_topk_idx(s[:, col], ids, kk)
-                out_q.append(np.full(kk, qi, dtype=np.int32))
-                out_i.append(ids[idx])
-                out_s.append(s[idx, col].astype(np.float64))
-        if not out_q:
-            return empty
-        return pa.table({
-            "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
-            id_col: pa.array(np.concatenate(out_i), type=pa.int64()),
-            "score": pa.array(np.concatenate(out_s), type=pa.float64())})
-
-    grouped = (embeddings.map_batches(assign, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-               .groupby("cell").map_groups(per_cell,
-                                           batch_format="pyarrow"))
-    parts = grouped.to_pandas()
-    if parts.empty:
-        parts = pd.DataFrame({"query_idx": pd.Series([], dtype=np.int32),
-                              id_col: pd.Series([], dtype=np.int64),
-                              "score": pd.Series([], dtype=np.float64)})
-    return _rank_topk(parts, k, id_col)
+    probe: dict[int, np.ndarray] = {}
+    for c in range(cent.shape[0]):
+        qids = np.flatnonzero((qprobe == c).any(axis=1)).astype(np.int32)
+        if qids.size:
+            probe[c] = qids
+    return _partitioned_topk(embeddings, qn, probe, _ivf_keys, cent,
+                             k, id_col, vec_col, "cell")
 
 
 def embedding_pairs_exact(embeddings: ray.data.Dataset,

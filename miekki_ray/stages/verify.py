@@ -40,7 +40,7 @@ def empty_verified() -> ray.data.Dataset:
     return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
 
 
-def join_width(cfg: DedupConfig, n_pairs: int | None) -> int:
+def join_width(cfg: DedupConfig | int, n_pairs: int | None) -> int:
     """THE pairs⨝docs join-width policy, shared by every caller (flagship
     attach_docs, query-vs-index) so the measured tuning below can never
     drift between copies.
@@ -61,7 +61,9 @@ def join_width(cfg: DedupConfig, n_pairs: int | None) -> int:
     core each and crawls [measured: 2-cpu leg stuck at load 1.0]."""
     import os
 
-    P = cfg.num_partitions
+    # accepts a DedupConfig or a bare shuffle-width int (non-flagship
+    # callers like stages/containment have no DedupConfig)
+    P = cfg if isinstance(cfg, int) else cfg.num_partitions
     if n_pairs is not None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         floor = max(2, min(8, ncpu))
@@ -148,11 +150,21 @@ class Verifier:
         verified = jac >= cfg.jaccard_threshold
         if cfg.containment_enabled:
             # ST3: only pairs failing Jaccard but passing the shingle
-            # containment pre-gate pay for the suffix-array LCS
+            # containment pre-gate pay for the suffix-array LCS; a doc in
+            # m flagged pairs is materialized + utf-8-encoded ONCE, not m
+            # times (per-unique-doc cache, same discipline as the sets)
+            enc: dict[int, bytes] = {}
+
+            def _enc(c: int) -> bytes:
+                e = enc.get(c)
+                if e is None:
+                    e = uniq_docs[c].as_py().encode("utf-8")
+                    enc[c] = e
+                return e
+
             for i in np.flatnonzero(~verified
                                     & (cont >= cfg.containment_threshold)):
-                ea = uniq_docs[code_a[i]].as_py().encode("utf-8")
-                eb = uniq_docs[code_b[i]].as_py().encode("utf-8")
+                ea, eb = _enc(int(code_a[i])), _enc(int(code_b[i]))
                 short, long_ = (ea, eb) if len(ea) <= len(eb) else (eb, ea)
                 lcs[i] = containment_ratio(short, long_)
         return pa.table({

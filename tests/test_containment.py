@@ -96,3 +96,27 @@ def test_winnow_batch_kernel_parity():
             for t, b in zip(ref_texts, got):
                 assert np.array_equal(
                     winnow_fingerprints(t or "", k=12, window=32), b)
+
+
+def test_containment_near_mode_sa_kernel(corpus):
+    # min_ratio < 1.0: the suffix-array LCS kernel is the decision (exact
+    # containments pass through its fast path; near-misses are ratio'd).
+    # doc 8 shares a long verbatim run with the host but diverges at the
+    # tail -> not an exact substring, LCS ratio just under 1.0.
+    filler, host = corpus[0][1], corpus[1][1]
+    near = corpus[1][1][:200] + " divergent tail that breaks containment"
+    rows = corpus + [(8, near)]
+    exact = containment_pairs_ds(_docs(rows)).to_pandas()
+    nearo = containment_pairs_ds(_docs(rows), min_ratio=0.8).to_pandas()
+    ep = set(zip(exact["a"], exact["b"]))
+    np_ = set(zip(nearo["a"], nearo["b"]))
+    # near mode is a superset: every exact containment has ratio 1.0
+    assert ep <= np_
+    # the planted near-miss (2, 8) is found ONLY by the SA kernel:
+    # 200/239 of doc 8 is a verbatim run of the host -> ratio ~0.837
+    assert (2, 8) in np_ and (2, 8) not in ep
+    # both paths agree in near mode too
+    nearo_d = containment_pairs_ds(_docs(rows), min_ratio=0.8,
+                                   driver_confirm_pairs=0).to_pandas()
+    key = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(nearo), key(nearo_d))
