@@ -511,6 +511,38 @@ def _documents_curated(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_curation_e2e(sf_dir: str):
+    """E49 end-to-end curation COMPOSITION — the full pre-training data
+    path as ONE lazy Ray pipeline: decontaminate (bench = doc_id%17==3,
+    broadcast gram set, emit='clean') → quality filter → exact
+    keep-first dedup (one hash-grouped exchange) → pack_bins (512-token
+    bins via the distributed prefix scan). Every stage streams into the
+    next; the oracle restates the whole chain as one SQL statement."""
+    import pyarrow as pa
+
+    from miekki_ray.pipelines.curate import curate_documents
+    from miekki_ray.stages.packing import pack_bins
+    from miekki_ray.stages.scrub import decontaminate
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            mask = (ids % 17 == 3) if is_bench else (ids % 17 != 3)
+            return b.filter(pa.array(mask))
+        return f
+
+    bench = ds.map_batches(split(True), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cand = ds.map_batches(split(False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    clean = decontaminate(cand, bench, emit="clean")
+    cur = curate_documents(clean, num_partitions=_cfg().num_partitions)
+    return pack_bins(cur.select_columns(["doc_id", "text"]), budget=512,
+                     num_partitions=_cfg().num_partitions).sort("doc_id")
+
+
 def _documents_pii_redact(sf_dir: str):
     """E42 PII scrub: deterministic synthetic PII is injected from doc_id
     (the corpus text contains no emails/phones — both sides inject
@@ -626,6 +658,41 @@ def _documents_dup_ngram_stats(sf_dir: str):
 
     ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
     return dup_ngram_stats(ds, num_partitions=_cfg().num_partitions)
+
+
+def _documents_ipc_agg(sf_dir: str):
+    """S-layer Arrow IPC (Feather v2) round-trip: documents → write_ipc
+    (content-addressed one-file-per-block sink) → read_ipc (zero-copy
+    per-file decode) → grouped agg, oracled against the ORIGINAL parquet
+    — the reader/writer pair is lossless or the hash comparison fails."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from miekki_ray import relational as R
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    src = R._read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tmp = tempfile.mkdtemp(prefix="miekki_ipc_")
+    try:
+        write_ipc(src, tmp)
+        ds = read_ipc(tmp)
+
+        def chars(batch):
+            import pyarrow.compute as pc
+            return batch.append_column(
+                "n_chars", pc.cast(pc.utf8_length(batch["text"]),
+                                   pa.int64()))
+
+        return (ds.map_batches(chars, batch_format="pyarrow")
+                .groupby("lang")
+                .aggregate(Count(alias_name="n"),
+                           Sum("n_chars", alias_name="sum_chars"))
+                .sort("lang").to_pandas())
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _documents_pack_bins(sf_dir: str):
@@ -997,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": _conversation_stats,
         "documents_pack_bins": _documents_pack_bins,
         "documents_curated": _documents_curated,
+        "documents_curation_e2e": _documents_curation_e2e,
         "documents_mix_sample": R.documents_mix_sample,
         "documents_repetition": R.documents_repetition,
         # --- containment / edit-distance / ngram near-dup modalities ---
@@ -1041,10 +1109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_exact": _jaccard_pairs_exact,
         "index_query_matches": _index_query_matches,
         "incremental_clusters": _incremental_clusters,
-        # 50th slot: never-driver-checked r3 op (lineitem_agg, previously
-        # here, is double-green r1+r2 and bench-covered — zero new
-        # evidence per window slot)
-        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
+        # (lineitem_agg, formerly the 50th slot, is double-green r1+r2
+        # and bench-covered — zero new evidence per window slot; the
+        # slot went to the oracle-backed curation composition above)
         # ================= driver 50-entry window ends here =============
         # relational stage library (DuckDB-oracled; driver-green r1+r2)
         "lineitem_agg": R.lineitem_agg,
@@ -1095,12 +1162,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_next10m": _events_range_next10m,
         "documents_approx_distinct": _documents_approx_distinct,
         "documents_jsonl_agg": _documents_jsonl_agg,
+        "documents_ipc_agg": _documents_ipc_agg,
         # media siblings ride behind the in-window media_decode family
         # sentinel: rows-only stubs, lowest evidence-per-window-slot
         "media_resize": _media_resize,
         "media_frames": _media_frames,
         "media_meta_stats": _media_stats,
         "documents_pack_bins_bpe": _documents_pack_bins_bpe,
+        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
     }
 
 
@@ -1925,6 +1994,68 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n_shared * 1.0 / n_grams, 6) >= 0.5 AS dup_flag
             FROM per ORDER BY doc_id
         """,
+        # E49: the full curation chain as ONE statement — gram
+        # decontamination (same unnest self-join as
+        # documents_decontaminated), quality filter + keep-first (same
+        # clauses as documents_curated), 512-token packing window (same
+        # frame as documents_pack_bins) — each clause already hash-green
+        # standalone, composed here over the surviving set
+        "documents_curation_e2e": r"""
+            WITH wg AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text,
+                         '[\s\x1c-\x1f]+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 7),
+                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                              || ' ' || ws[i+3] || ' ' || ws[i+4] || ' '
+                              || ws[i+5] || ' ' || ws[i+6] || ' '
+                              || ws[i+7])) AS gram
+              FROM wg WHERE len(ws) >= 8
+            ), hits AS (
+              SELECT DISTINCT c.doc_id
+              FROM g c JOIN g b ON c.gram = b.gram
+              WHERE c.doc_id % 17 <> 3 AND b.doc_id % 17 = 3
+            ), clean AS (
+              SELECT d.doc_id, d.text FROM documents d
+              WHERE d.doc_id % 17 <> 3
+                AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+            ), w AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '[a-zA-Z'']+'))
+                          AS BIGINT) AS n_words
+              FROM clean
+            ), q AS (
+              SELECT doc_id, text FROM w
+              WHERE n_words >= 40
+                AND round(n_alpha / greatest(n_chars, 1), 6) >= 0.8
+            ), kf AS (
+              SELECT doc_id, text FROM q
+              QUALIFY row_number() OVER (PARTITION BY text
+                                         ORDER BY doc_id) = 1
+            ), t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                                    || chr(13) || chr(12) || chr(11)) = ''
+                          THEN 0
+                          ELSE len(string_split_regex(
+                                   trim(text, ' ' || chr(9) || chr(10)
+                                        || chr(13) || chr(12) || chr(11)),
+                                   '[ \t\n\r\f\v]+'))
+                     END AS n_tokens
+              FROM kf
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 512 AS BIGINT) AS bin
+            FROM t ORDER BY doc_id
+        """,
         # E44: the window frame the distributed prefix scan restates;
         # token kernel identical to doc_token_counts
         "documents_pack_bins": r"""
@@ -2005,6 +2136,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name <> b.p_name
               AND levenshtein(a.p_name, b.p_name) <= 2
             ORDER BY a, b
+        """,
+        "documents_ipc_agg": """
+            SELECT lang, COUNT(*) AS n,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "documents_jsonl_agg": """
             SELECT lang, COUNT(*) AS n,

@@ -98,14 +98,19 @@ def _cached_grams(ref) -> frozenset:
 
 def decontaminate(candidates: ray.data.Dataset, bench: ray.data.Dataset,
                   *, n_words: int = 8, text_col: str = "text",
-                  id_col: str = "doc_id") -> ray.data.Dataset:
+                  id_col: str = "doc_id",
+                  emit: str = "flags") -> ray.data.Dataset:
     """Flag every candidate document sharing at least one word
     ``n_words``-gram with ANY benchmark document (test-set
-    decontamination). Returns (id_col, contaminated:bool).
+    decontamination). emit='flags' (default) returns
+    (id_col, contaminated:bool); emit='clean' returns the SURVIVING
+    candidate rows with their original columns — the shape pipeline
+    compositions chain on (same flag kernel, zero extra exchange).
 
     The bench gram set is driver-collected by design: an eval benchmark
     is bounded (thousands of docs) regardless of corpus scale — the
     asymmetric small side of this operator's contract."""
+    assert emit in ("flags", "clean"), emit
     def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
         _, grams = _batch_grams(batch[text_col], n_words)
         return pd.DataFrame({"gram": pd.unique(grams)})
@@ -123,6 +128,11 @@ def decontaminate(candidates: ray.data.Dataset, bench: ray.data.Dataset,
         if len(grams):
             hit = pd.Series(grams).isin(grams_set).to_numpy()
             contaminated[np.unique(idx[hit])] = True
+        if emit == "clean":
+            # reset_index: downstream batch kernels assume the pandas-
+            # block RangeIndex contract (a filtered index misaligns any
+            # kernel that mixes batch Series with fresh numpy arrays)
+            return batch.iloc[~contaminated].reset_index(drop=True)
         return pd.DataFrame({
             id_col: batch[id_col].to_numpy(),
             "contaminated": contaminated,

@@ -150,3 +150,28 @@ def test_dup_ngram_stats_planted():
     assert out["n_shared"].tolist() == [2, 2, 0, 0]
     assert out.loc[0, "shared_ratio"] == round(2 / 3, 6)
     assert out["dup_flag"].tolist() == [True, True, False, False]
+
+
+def test_decontaminate_emit_clean():
+    # emit='clean' returns surviving rows with their ORIGINAL columns —
+    # same flag kernel as emit='flags' (pinned against it here)
+    from miekki_ray.stages.scrub import decontaminate
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                  "kappa")
+    cand = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [
+            "xx " + " ".join(bench_text.split()[1:9]) + " yy",
+            "one two three four five six seven eight nine",
+            "alpha beta gamma delta epsilon zeta eta",
+        ],
+        "extra": ["a", "b", "c"],
+    })
+    bench = pd.DataFrame({"doc_id": [1], "text": [bench_text]})
+    clean = (decontaminate(ray.data.from_pandas(cand),
+                           ray.data.from_pandas(bench), emit="clean")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert clean["doc_id"].tolist() == [11, 12]
+    assert clean.columns.tolist() == ["doc_id", "text", "extra"]
+    assert clean["extra"].tolist() == ["b", "c"]

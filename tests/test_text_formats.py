@@ -52,3 +52,26 @@ def test_csv_type_pinning_prevents_drift(tmp_path):
     got = ds.to_pandas().sort_values("k").reset_index(drop=True)
     assert got["v"].dtype == np.float64
     assert got["v"].tolist() == [1.0, 2.0, 2.5, 3.5]
+
+
+def test_ipc_round_trip_and_idempotent(tmp_path):
+    # content-addressed sink: same data re-written -> same file names
+    # (idempotent resume), and the read side is byte-lossless
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    df = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": ["alpha", "béta 🎉", "", "tab\tand\nnewline"],
+        "score": pd.array([0.5, None, 2.25, -1.0], dtype="float64"),
+    })
+    out = str(tmp_path / "ipc")
+    m1 = write_ipc(ray.data.from_pandas(df), out)
+    m2 = write_ipc(ray.data.from_pandas(df), out)   # re-run: same names
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    assert m1["rows"].sum() == 4
+    got = (read_ipc(out).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, df)
