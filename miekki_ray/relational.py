@@ -100,15 +100,38 @@ def part_brand_top5(sf_dir: str):
 
 # ------------------------------------------------------------------- joins
 
-def orders_join_customer_top10(sf_dir: str):
-    """Hash join + grouped agg + top-k: 10 biggest customers by spend."""
+def orders_join_customer_top10(sf_dir: str,
+                               broadcast_limit: int = 2_000_000):
+    """Grouped agg + dimension join + top-k: 10 biggest customers by
+    spend. The customer side is dimension-table small, so the name
+    lookup BROADCASTS (J3: ray.put once, vectorized .map per batch) —
+    the r3 bench profile showed the hash-shuffle join paying ~4 s of
+    aggregator-actor startup to join two 15k-row tables. Above
+    ``broadcast_limit`` rows the distributed hash join takes over
+    (identical output, pinned by test_relational_outer_sample)."""
+    import ray
+
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     spend = (orders.groupby("o_custkey")
              .aggregate(Sum("o_totalprice", alias_name="total_spend"),
                         Count(alias_name="n_orders")))
-    j = spend.join(cust, join_type="inner", num_partitions=8,
-                   on=("o_custkey",), right_on=("c_custkey",))
+    if cust.count() <= broadcast_limit:
+        cpd = cust.to_pandas()
+        ref = ray.put(pd.Series(cpd["c_name"].to_numpy(),
+                                index=cpd["c_custkey"].to_numpy()))
+
+        def attach(batch: pd.DataFrame) -> pd.DataFrame:
+            names = ray.get(ref)
+            out = batch.copy()
+            out["c_name"] = batch["o_custkey"].map(names)
+            # inner-join semantics: drop spend rows with no customer
+            return out[out["c_name"].notna()]
+
+        j = spend.map_batches(attach, batch_format="pandas")
+    else:
+        j = spend.join(cust, join_type="inner", num_partitions=8,
+                       on=("o_custkey",), right_on=("c_custkey",))
     return (j.select_columns(["c_name", "total_spend", "n_orders"])
             .sort(["total_spend", "c_name"], descending=[True, False])
             .limit(10))

@@ -69,3 +69,24 @@ def test_hll_distributed_merge():
     ds = ray.data.from_pandas(df).repartition(9)
     est = approx_distinct(ds, "doc")
     assert abs(est - 10_000) / 10_000 < 0.03, est
+
+
+def test_bloom_semi_join_paths_identical():
+    # broadcast verify (default, small build) vs distributed join verify
+    # (forced with broadcast_limit=0) must agree row-for-row
+    rng = np.random.default_rng(11)
+    probe = pd.DataFrame({
+        "pk": rng.integers(0, 300, 2500).astype(np.int64),
+        "v": np.arange(2500, dtype=np.int64)})
+    build = pd.DataFrame(
+        {"bk": rng.choice(300, 40, replace=False).astype(np.int64)})
+    kw = dict(probe_key="pk", build_key="bk", m_bits=256, k=2,
+              num_partitions=4)
+    a = bloom_semi_join(ray.data.from_pandas(probe),
+                        ray.data.from_pandas(build), **kw).to_pandas()
+    b = bloom_semi_join(ray.data.from_pandas(probe),
+                        ray.data.from_pandas(build), broadcast_limit=0,
+                        **kw).to_pandas()
+    key = lambda df: df.sort_values(["pk", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a)[sorted(a.columns)],
+                                  key(b)[sorted(b.columns)])

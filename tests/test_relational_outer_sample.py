@@ -90,3 +90,14 @@ def test_full_outer_left_unmatched_user(tmp_path):
     assert pd.isna(got.loc[99, "segment"])
     # RIGHT-unmatched: customer without events
     assert pd.isna(got.loc[2, "n_events"])
+
+
+def test_orders_join_customer_paths_identical():
+    # J3 broadcast name lookup (default) vs distributed hash join
+    # (forced with broadcast_limit=0) must produce the same top-10
+    from miekki_ray.relational import orders_join_customer_top10
+
+    a = orders_join_customer_top10(SF).to_pandas()
+    b = orders_join_customer_top10(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
