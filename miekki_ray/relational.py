@@ -308,22 +308,50 @@ def _text_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
                         type=pa.int64()))
 
 
-def documents_dup_clusters(sf_dir: str):
+def documents_dup_clusters(sf_dir: str, num_partitions: int = 8):
     """Exact-dup cluster table: (doc_id, cluster_id = min doc_id of text).
 
-    The join key is a 128-bit text hash, NOT the text itself — the full
-    document text never crosses the join shuffle (it would be shipped twice
-    per doc otherwise; the SQL oracle joins on text and agrees modulo hash
-    collisions, see _text_hash128)."""
+    The shuffle key is a 128-bit text hash, NOT the text itself — the
+    full document text never crosses the exchange (the SQL oracle joins
+    on text and agrees modulo hash collisions, see _text_hash128).
+
+    ONE exchange, not two: rows are partition-tagged by hash and each
+    partition assigns min-per-(h1,h2)-segment vectorized (lexsort +
+    segment-first broadcast). The r2 shape — groupby Min + hash join
+    back — paid a second aggregator-actor pool to re-attach a value each
+    row's partition already held (r3 bench: 4.3 s -> the join dropped)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(_text_hash128, batch_format="pyarrow",
                             zero_copy_batch=True) \
                .select_columns(["doc_id", "_h1", "_h2"])
-    reps = hashed.groupby(["_h1", "_h2"]).aggregate(
-        Min("doc_id", alias_name="cluster_id"))
-    j = hashed.join(reps, join_type="inner", num_partitions=8,
-                    on=("_h1", "_h2"), right_on=("_h1", "_h2"))
-    return j.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h1 = batch["_h1"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_p", pa.array((h1 % num_partitions).astype(np.int32),
+                           type=pa.int32()))
+
+    def assign(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cluster_id": pa.array([], type=pa.int64())})
+        h1 = group["_h1"].to_numpy(zero_copy_only=False)
+        h2 = group["_h2"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        new = np.r_[True, (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])]
+        seg = np.cumsum(new) - 1
+        mins = idss[new]            # ids sorted within segment: first=min
+        return pa.table({
+            "doc_id": pa.array(idss, type=pa.int64()),
+            "cluster_id": pa.array(mins[seg], type=pa.int64())})
+
+    return (hashed.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("_p").map_groups(assign, batch_format="pyarrow")
+            .sort("doc_id"))
 
 
 def documents_lang_counts(sf_dir: str):
