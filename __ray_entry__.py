@@ -249,12 +249,16 @@ def _ann_ivf_partitioned(sf_dir: str):
     emb = _read_tbl(sf_dir, "embeddings")
     # tag = corpus + full quantizer config + trainer code generation, so a
     # /tmp leftover from another config or code round can never be loaded
-    # (ivf_centroids also validates shape and retrains on mismatch)
-    ident = f"{sf_dir}|nc=64|seed=7|train=4096|gen=1"
+    # (ivf_centroids also validates shape/dim and retrains on mismatch).
+    # The config values are BOUND ONCE here and used for both the tag and
+    # the call, so the fingerprint cannot drift from what actually runs.
+    nc, seed, train = 64, 7, 4096
+    ident = f"{sf_dir}|nc={nc}|seed={seed}|train={train}|gen=1"
     tag = hashlib.md5(ident.encode()).hexdigest()[:12]   # deterministic
     art = os.path.join(tempfile.gettempdir(), f"ivf_cent_{tag}.npy")
     return ivf_topk_partitioned(emb, _query_vecs(sf_dir), k=10,
-                                artifact_path=art)
+                                n_centroids=nc, seed=seed,
+                                train_sample=train, artifact_path=art)
 
 
 def _embedding_pairs_exact(sf_dir: str):

@@ -257,8 +257,12 @@ def run_scaling() -> dict:
     # Records carry a config fingerprint; a record from a different corpus
     # size / cpu pair / input dir is skipped (re-run), never blended.
     ckpt_path = os.environ.get("MIEKKI_SCALING_CKPT")
+    paired = bool(os.environ.get("MIEKKI_SCALING_PAIRED"))
+    # protocol is part of the fingerprint: a legacy (leg-after-leg) ckpt
+    # resumed under paired mode would pair trials measured hours apart —
+    # the exact bias the paired protocol exists to cancel
     ckpt_fp = {"convs": scaling_convs, "cpus": [lo_cpu, hi_cpu],
-               "sf": SF_DIR}
+               "sf": SF_DIR, "protocol": "paired" if paired else "legacy"}
     ckpt: dict[tuple[int, int], dict] = {}
     if ckpt_path and os.path.exists(ckpt_path):
         with open(ckpt_path) as f:
@@ -289,7 +293,7 @@ def run_scaling() -> dict:
 
     ratio = hi_cpu / lo_cpu
     pairs = None
-    if os.environ.get("MIEKKI_SCALING_PAIRED"):
+    if paired:
         # Paired-interleaved protocol: each trial runs the lo and hi legs
         # BACK-TO-BACK so both sample (nearly) the same host window, and
         # the estimate is the MEDIAN of per-pair ratios. The legacy
@@ -301,13 +305,17 @@ def run_scaling() -> dict:
         # to a polluted pair. Per-pair probes are logged for forensics.
         pairs = []
         for i in range(trials):
+            # a pair resumed from the ckpt was NOT measured back-to-back
+            # in this process — flag it so the forensics stay honest
+            resumed = (lo_cpu, i) in ckpt or (hi_cpu, i) in ckpt
             plo, phi = run_trial(lo_cpu, i), run_trial(hi_cpu, i)
             pairs.append({
                 "sec_lo": plo["value"], "sec_hi": phi["value"],
                 "eff": round((plo["value"] / phi["value"]) / ratio, 3),
                 "cpu_probe": round(
                     (_host_cpu_probe(hi_cpu) / _host_cpu_probe(lo_cpu))
-                    / ratio, 3)})
+                    / ratio, 3),
+                "resumed": resumed})
         effs = sorted(p["eff"] for p in pairs)
         mid = len(effs) // 2
         eff = effs[mid] if len(effs) % 2 else round(

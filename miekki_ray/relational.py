@@ -325,11 +325,7 @@ def documents_dup_clusters(sf_dir: str, num_partitions: int = 8):
                             zero_copy_batch=True) \
                .select_columns(["doc_id", "_h1", "_h2"])
 
-    def tag(batch: pa.Table) -> pa.Table:
-        h1 = batch["_h1"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "_p", pa.array((h1 % num_partitions).astype(np.int32),
-                           type=pa.int32()))
+    from miekki_ray.functions.util import add_uint_part
 
     def assign(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -348,9 +344,10 @@ def documents_dup_clusters(sf_dir: str, num_partitions: int = 8):
             "doc_id": pa.array(idss, type=pa.int64()),
             "cluster_id": pa.array(mins[seg], type=pa.int64())})
 
-    return (hashed.map_batches(tag, batch_format="pyarrow",
+    return (hashed.map_batches(add_uint_part("_h1", num_partitions),
+                               batch_format="pyarrow",
                                zero_copy_batch=True)
-            .groupby("_p").map_groups(assign, batch_format="pyarrow")
+            .groupby("_part").map_groups(assign, batch_format="pyarrow")
             .sort("doc_id"))
 
 

@@ -48,16 +48,25 @@ def read_csv(path: str, column_types: dict[str, pa.DataType] | None = None
     return strip_schema_metadata(ray.data.read_csv(path, **kwargs))
 
 
+IPC_MANIFEST = "_MANIFEST.json"
+
+
 def write_ipc(ds: ray.data.Dataset, out_dir: str):
     """Partitioned Arrow IPC (Feather v2) sink: one ``.arrow`` file per
     input block (the same resumable one-file-per-block layout as the
-    JSONL/CSV sinks). File names are CONTENT-ADDRESSED (md5 of the IPC
-    bytes), so a re-run after a crash rewrites the same names instead of
-    duplicating data — idempotent without a manifest. Returns the tiny
-    (path, rows) manifest DataFrame (one row per written file)."""
-    import hashlib
-    import io
+    JSONL/CSV sinks), MANIFEST-LAST (the repo's checkpoint discipline,
+    state/manifest.py): every block writes under a unique name via an
+    atomic tmp+rename, then ``_MANIFEST.json`` is published atomically
+    listing exactly the files of THIS run. A crashed run leaves orphan
+    parts but no manifest update, and ``read_ipc`` reads only manifested
+    files — so a re-run is exact, never duplicated, never torn. (Names
+    are NOT content-addressed: two byte-identical blocks are two files —
+    dedup corpora legitimately contain duplicate blocks, and collapsing
+    them would silently drop rows.) Returns the tiny (path, rows)
+    manifest DataFrame."""
+    import json
     import os
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -66,31 +75,57 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str):
                           "rows": pa.array([], type=pa.int64())})
         if batch.num_rows == 0:
             return empty
-        buf = io.BytesIO()
-        with pa.ipc.new_file(buf, batch.schema) as w:
+        name = f"part-{uuid.uuid4().hex}.arrow"
+        p = os.path.join(out_dir, name)
+        tmp = p + ".tmp"                 # unique per writer: no sharing
+        with pa.OSFile(tmp, "wb") as f, \
+                pa.ipc.new_file(f, batch.schema) as w:
             w.write_table(batch)
-        data = buf.getvalue()
-        p = os.path.join(out_dir,
-                         f"part-{hashlib.md5(data).hexdigest()[:16]}.arrow")
-        tmp = p + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, p)          # atomic (manifest-write discipline)
-        return pa.table({"path": pa.array([p], type=pa.string()),
+        os.replace(tmp, p)
+        return pa.table({"path": pa.array([name], type=pa.string()),
                          "rows": pa.array([batch.num_rows],
                                           type=pa.int64())})
 
     # consuming the block-sized manifest drives the distributed write
-    return (ds.map_batches(dump, batch_format="pyarrow",
-                           zero_copy_batch=True).to_pandas())
+    out = (ds.map_batches(dump, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas())
+    mpath = os.path.join(out_dir, IPC_MANIFEST)
+    mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"files": [{"path": p, "rows": int(r)} for p, r in
+                             zip(out["path"], out["rows"])]}, f)
+    os.replace(mtmp, mpath)              # manifest LAST, atomically
+    return out
 
 
 def read_ipc(path: str) -> ray.data.Dataset:
     """Arrow IPC (Feather v2) source: one read task per file
     (read_binary_files does the listing/scheduling), decoded ZERO-COPY in
     the task — pa.ipc.open_file over the Arrow buffer of the file bytes,
-    no Python bytes materialization."""
-    raw = ray.data.read_binary_files(path, file_extensions=["arrow"])
+    no Python bytes materialization. If the directory carries a
+    ``_MANIFEST.json`` (write_ipc's manifest-last contract), ONLY
+    manifested files are read — orphan parts from a crashed earlier run
+    are ignored; a bare directory/file path falls back to extension
+    listing. Empty blocks keep the schema (read driver-side from the
+    first file's footer): a zero-column empty block would poison
+    downstream joins [env ray 2.49.2]."""
+    import json
+    import os
+
+    files: list[str] | str = path
+    schema = None
+    mpath = os.path.join(path, IPC_MANIFEST) if os.path.isdir(path) else None
+    if mpath and os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        files = [os.path.join(path, rec["path"])
+                 for rec in manifest["files"]]
+    probe = files[0] if isinstance(files, list) and files else (
+        path if os.path.isfile(path) else None)
+    if probe:
+        with pa.memory_map(probe) as src:
+            schema = pa.ipc.open_file(src).schema.with_metadata(None)
+    raw = ray.data.read_binary_files(files, file_extensions=["arrow"])
 
     def decode(batch: pa.Table) -> pa.Table:
         tables = []
@@ -101,7 +136,8 @@ def read_ipc(path: str) -> ray.data.Dataset:
                 tables.append(pa.ipc.open_file(
                     pa.BufferReader(ch[i].as_buffer())).read_all())
         if not tables:
-            return pa.table({})
+            return (schema.empty_table() if schema is not None
+                    else pa.table({}))
         return pa.concat_tables(tables, promote_options="default")
 
     return strip_schema_metadata(

@@ -81,19 +81,38 @@ def bloom_semi_join(probe: ray.data.Dataset, build: ray.data.Dataset, *,
                     probe_key: str, build_key: str,
                     m_bits: int = 1 << 23, k: int = 5,
                     num_partitions: int = 16,
-                    broadcast_limit: int = 2_000_000) -> ray.data.Dataset:
+                    broadcast_limit: int | None = 2_000_000
+                    ) -> ray.data.Dataset:
     """Exact semi-join (rows of ``probe`` whose key appears in ``build``),
     with the Bloom prefilter cutting the exact join's shuffled volume.
     ``build``'s key column should be selective; the filter itself is
     m/8 bytes regardless of build size.
 
-    Exact verification auto-switches (the repo's broadcast↔shuffle
-    policy): a build side under ``broadcast_limit`` rows broadcasts its
-    EXACT key array once and verifies per batch — the r3 bench profile
-    showed the verify join paying ~4 s of aggregator-actor startup to
-    check a handful of post-Bloom survivors. Above the limit the
-    distributed distinct-keys⨝survivors join verifies (identical
-    output, pinned by test_bloom_hll)."""
+    Auto-switch (the repo's broadcast↔shuffle policy): a build side
+    under ``broadcast_limit`` rows broadcasts its EXACT sorted key array
+    once and the whole semi-join is ONE probe scan (np.isin per batch) —
+    an exact key set this small strictly dominates a Bloom (no false
+    positives, no verify pass; the r3 bench profile showed the verify
+    join paying ~4 s of aggregator-actor startup to check a handful of
+    survivors). Above the limit — or with ``broadcast_limit=None``,
+    which skips the sizing count() pass for builds known to be huge —
+    the Bloom prefilter cuts the exact join's shuffled volume and the
+    distributed distinct-keys⨝survivors join removes its false
+    positives. Identical output, pinned by test_bloom_hll."""
+    if broadcast_limit is not None and build.count() <= broadcast_limit:
+        kp = build.select_columns([build_key]).to_pandas()
+        kref = ray.put(np.unique(
+            kp[build_key].to_numpy(dtype=np.int64)))
+
+        def exact_semi(batch: pa.Table) -> pa.Table:
+            keys_sorted = ray.get(kref)
+            keys = batch[probe_key].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(np.isin(keys, keys_sorted)))
+
+        return probe.map_batches(exact_semi, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
     bloom = build_bloom(build, build_key, m_bits=m_bits, k=k)
     bloom_ref = ray.put(bloom)  # one object-store copy, read per task
 
@@ -105,22 +124,8 @@ def bloom_semi_join(probe: ray.data.Dataset, build: ray.data.Dataset, *,
 
     maybe = probe.map_batches(prefilter, batch_format="pyarrow")
 
-    # exact verification: remove the Bloom's false positives (result is
-    # exact, not approximate)
-    if build.count() <= broadcast_limit:
-        kp = build.select_columns([build_key]).to_pandas()
-        kref = ray.put(np.unique(
-            kp[build_key].to_numpy(dtype=np.int64)))
-
-        def verify(batch: pa.Table) -> pa.Table:
-            keys_sorted = ray.get(kref)
-            keys = batch[probe_key].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            return batch.filter(pa.array(np.isin(keys, keys_sorted)))
-
-        return maybe.map_batches(verify, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-
+    # exact verification: distinct build keys ⨝ survivors removes the
+    # Bloom's false positives (result is exact, not approximate)
     from ray.data.aggregate import Count
     keys_ds = (build.select_columns([build_key])
                .groupby(build_key).aggregate(Count(alias_name="_k")))

@@ -396,7 +396,8 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
 def ivf_centroids(embeddings: ray.data.Dataset, n_centroids: int = 64,
                   seed: int = 7, train_sample: int = 4096,
                   vec_col: str = "embedding",
-                  artifact_path: str | None = None) -> np.ndarray:
+                  artifact_path: str | None = None,
+                  expected_dim: int | None = None) -> np.ndarray:
     """Train-once / persist / reuse coarse quantizer (VERDICT r2 Missing
     #2: "centroids as a persisted artifact reused across queries"). When
     ``artifact_path`` exists it is loaded and training is skipped — at
@@ -409,9 +410,11 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_centroids: int = 64,
     if artifact_path and os.path.exists(artifact_path):
         cent = np.load(artifact_path)
         # validate before trusting: a stale artifact from a different
-        # config (or older trainer code) silently re-shapes cell_queries
-        # and degrades recall with no error — self-heal by retraining
-        if cent.ndim == 2 and cent.shape[0] == n_centroids:
+        # config (or older trainer code, or a corpus whose embedding dim
+        # changed) silently re-shapes cell_queries / crashes the probe
+        # matmul — self-heal by retraining
+        if (cent.ndim == 2 and cent.shape[0] == n_centroids
+                and (expected_dim is None or cent.shape[1] == expected_dim)):
             return cent
     sample_tbl = embeddings.limit(train_sample).to_pandas()
     sm = _normalize(np.stack(
@@ -447,9 +450,10 @@ def ivf_topk_partitioned(embeddings: ray.data.Dataset, queries: np.ndarray,
     6dp, ties by id. nprobe == n_centroids degenerates to exact
     brute-force (pinned by test); the recall-vs-bruteforce gate at
     nprobe < n_centroids is tests/test_similarity.py."""
-    cent = ivf_centroids(embeddings, n_centroids, seed, train_sample,
-                         vec_col, artifact_path)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cent = ivf_centroids(embeddings, n_centroids, seed, train_sample,
+                         vec_col, artifact_path,
+                         expected_dim=qn.shape[1])
     np_eff = min(nprobe, cent.shape[0])
     qprobe = np.argsort(-(qn @ cent.T), axis=1)[:, :np_eff]   # (nq, nprobe)
     # invert driver-side (n_centroids small): cell -> probing query idxs

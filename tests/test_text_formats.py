@@ -54,9 +54,10 @@ def test_csv_type_pinning_prevents_drift(tmp_path):
     assert got["v"].tolist() == [1.0, 2.0, 2.5, 3.5]
 
 
-def test_ipc_round_trip_and_idempotent(tmp_path):
-    # content-addressed sink: same data re-written -> same file names
-    # (idempotent resume), and the read side is byte-lossless
+def test_ipc_round_trip_manifest_last(tmp_path):
+    # manifest-last sink: a re-run publishes a fresh manifest; read_ipc
+    # reads ONLY manifested files, so earlier runs' parts are ignored
+    # (exactly-once resume) and the read side is byte-lossless
     import pandas as pd
     import ray.data
 
@@ -69,9 +70,26 @@ def test_ipc_round_trip_and_idempotent(tmp_path):
     })
     out = str(tmp_path / "ipc")
     m1 = write_ipc(ray.data.from_pandas(df), out)
-    m2 = write_ipc(ray.data.from_pandas(df), out)   # re-run: same names
-    assert sorted(m1["path"]) == sorted(m2["path"])
-    assert m1["rows"].sum() == 4
+    m2 = write_ipc(ray.data.from_pandas(df), out)   # re-run: new manifest
+    assert m1["rows"].sum() == m2["rows"].sum() == 4
     got = (read_ipc(out).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
-    pd.testing.assert_frame_equal(got, df)
+    pd.testing.assert_frame_equal(got, df)          # ONE copy, not two
+
+
+def test_ipc_identical_blocks_not_collapsed(tmp_path):
+    # two byte-identical BLOCKS (dedup corpora contain these) must both
+    # survive the round-trip — a content-addressed name would silently
+    # collapse them
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    df = pd.DataFrame({"doc_id": pd.array([7, 8], dtype="int64"),
+                       "text": ["same", "rows"]})
+    ds = ray.data.from_pandas([df.copy(), df.copy()])   # 2 equal blocks
+    out = str(tmp_path / "ipc_dup")
+    m = write_ipc(ds, out)
+    assert m["rows"].sum() == 4 and len(m) == 2
+    assert read_ipc(out).count() == 4
