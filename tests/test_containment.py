@@ -120,3 +120,22 @@ def test_containment_near_mode_sa_kernel(corpus):
                                    driver_confirm_pairs=0).to_pandas()
     key = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(nearo), key(nearo_d))
+
+
+def test_containment_distributed_multipartition():
+    # >20k candidate pairs forces join_width >= 2: the chained hash
+    # joins must survive partitions receiving zero left blocks (the
+    # ensure_schema guard); P=1 paths never exercise that [env ray
+    # 2.49.2].
+    base = ("shared common core passage that every document embeds "
+            "verbatim and that is comfortably longer than the winnowing "
+            "floor of window plus k minus one bytes ")
+    rows = [(i, f"doc {i} prefix " + base + f"suffix {i}")
+            for i in range(250)]
+    rows.append((9999, base))          # contained in every other doc
+    out = containment_pairs_ds(_docs(rows),
+                               driver_confirm_pairs=0).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    # exactly the (i, 9999) containments: the 250 hosts pairwise share
+    # the base but none contains another (distinct prefix/suffix)
+    assert got == {(i, 9999) for i in range(250)}
