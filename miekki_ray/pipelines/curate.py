@@ -46,7 +46,16 @@ def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
         keep = (out["n_words"].to_numpy() >= min_words) & \
                (out["alpha_ratio"].to_numpy() >= min_alpha_ratio)
         # clean Arrow out: pandas-backed blocks defeat the downstream
-        # shuffle's schema-dedup (see util.pa_from_pandas)
+        # shuffle's schema-dedup (see util.pa_from_pandas). An ALL-
+        # filtered batch must keep its types: from_pandas infers
+        # Arrow `null` for an empty object column, the schema-drift
+        # hazard guarded elsewhere with typed empty tables.
+        if not keep.any():
+            return pa.schema([("doc_id", pa.int64()),
+                              ("text", pa.string()),
+                              ("n_chars", pa.int64()),
+                              ("n_words", pa.int64()),
+                              ("alpha_ratio", pa.float64())]).empty_table()
         return pa_from_pandas(out[keep])
 
     return docs.map_batches(score, batch_format="pandas")

@@ -43,6 +43,12 @@ class DedupResult:
     verified: ray.data.Dataset       # full verify output incl. rejected pairs
     docs: ray.data.Dataset           # reconstructed docs (all convs)
     metrics: dict = field(default_factory=dict)
+    # reusable intermediates: the exact-unique doc set and its
+    # (materialized, text-free) sketch table — downstream pipelines
+    # (incremental) reuse them instead of re-running reconstruct /
+    # exact-dedup / sketch on the same corpus
+    unique_docs: ray.data.Dataset | None = None
+    sketched: ray.data.Dataset | None = None
 
 
 # per-object checkpoint nonces for in-memory Dataset inputs (see run_dedup);
@@ -147,7 +153,8 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
     metrics["n_components"] = n_components
     metrics["stage_sec"] = stage_sec
     return DedupResult(clusters=clusters, edges=edges, verified=verified,
-                       docs=docs, metrics=metrics)
+                       docs=docs, metrics=metrics,
+                       unique_docs=unique_docs, sketched=sketched)
 
 
 def _est_pair_doc_bytes(docs: ray.data.Dataset, n_pairs: int) -> int:
@@ -236,8 +243,19 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     bands, d_bands = r.run(
         "band_rows", lambda: band_explode(sketch_docs(uniq, cfg), cfg),
         upstream_dir=d_uniq)
+    # the salted/capped recall accounting flows into the pairs stage
+    # MANIFEST (metrics_fn runs after the data write, when the counters
+    # exist) — the manifest contract is lineage + METRICS, and a resumed
+    # run recovers the skipped stage's counters from the same place
+    from miekki_ray.state.manifest import stage_metrics
+    from miekki_ray.state.metrics import MetricsSink
+    sink = MetricsSink()
     pairs, d_pairs = r.run(
-        "pairs", lambda: candidate_pairs(bands, cfg), upstream_dir=d_bands)
+        "pairs", lambda: candidate_pairs(bands, cfg,
+                                         metrics_name=sink.name),
+        upstream_dir=d_bands, metrics_fn=sink.collect)
+    pair_metrics = stage_metrics(d_pairs)
+    sink.close()
     from miekki_ray.stages.verify import empty_verified
 
     def _verify():
@@ -261,7 +279,7 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         upstream_dir=d_edges)
     res = DedupResult(clusters=clusters, edges=edges, verified=verified,
                       docs=docs)
-    res.metrics = {"ran": r.ran, "skipped": r.skipped}
+    res.metrics = {"ran": r.ran, "skipped": r.skipped, **pair_metrics}
     return res
 
 

@@ -46,8 +46,19 @@ def dedup_incremental(new_turns: ray.data.Dataset,
     clusters = res_new.clusters.select_columns(["conv_id", "cluster_id"]) \
         .materialize()
 
-    # 2. match new batch against existing representatives; keep dup matches
-    matches = match_query_vs_index(new_turns, kept_turns, cfg)
+    # 2. match new batch against existing representatives; keep dup
+    #    matches. The query side REUSES step 1's unique docs + sketch
+    #    table (band_explode is a cheap map over the text-free sketches)
+    #    — reconstruct/exact-dedup/sketch are the dominant per-batch
+    #    stages and were previously paid twice for the same corpus.
+    from miekki_ray.stages.sketch import band_explode
+
+    q_side = None
+    if res_new.unique_docs is not None and res_new.sketched is not None:
+        q_side = (res_new.unique_docs.materialize(),
+                  band_explode(res_new.sketched, cfg))
+    matches = match_query_vs_index(new_turns, kept_turns, cfg,
+                                   query_side=q_side)
 
     def dup_only(batch: pd.DataFrame) -> pa.Table:
         keep = batch[batch["verified"] | batch["contained"]]

@@ -89,26 +89,42 @@ def _emit_cross_pairs(cfg: DedupConfig):
     return emit
 
 
-def match_query_vs_index(query_turns: ray.data.Dataset,
-                         index_turns: ray.data.Dataset,
-                         cfg: DedupConfig | None = None) -> ray.data.Dataset:
+def match_query_vs_index(query_turns: ray.data.Dataset | None,
+                         index_turns: ray.data.Dataset | None,
+                         cfg: DedupConfig | None = None, *,
+                         query_side: tuple | None = None,
+                         index_side: tuple | None = None
+                         ) -> ray.data.Dataset:
     """Sketch both corpora at the same config; return verified matches
     (a=query conv_id, b=index conv_id, n_bands, jaccard, containment,
-    verified, contained)."""
+    verified, contained).
+
+    ``query_side`` / ``index_side``: optional prebuilt
+    (unique_docs, bands) for a corpus that has ALREADY been
+    reconstructed, exact-deduped and sketched — the incremental
+    pipeline passes its self-dedup artifacts here instead of paying the
+    dominant per-batch stages a second time (the corresponding turns
+    arg is then ignored and may be None)."""
     from miekki_ray.stages.candidates import distinct_pairs
     from miekki_ray.functions.util import rename
 
     cfg = cfg or DedupConfig()
 
-    def side_chain(turns: ray.data.Dataset, side: str):
-        docs = reconstruct_docs(turns, cfg).materialize()
-        uniq, _ = exact_dedup(docs, cfg)
-        uniq = uniq.materialize()
-        bands = band_explode(sketch_docs(uniq, cfg), cfg)
+    def side_chain(turns, side: str, pre: tuple | None):
+        if pre is not None:
+            uniq, bands = pre
+        else:
+            # docs stays lazy: exact_dedup materializes its own tagged
+            # table internally, so a docs barrier here would only pin a
+            # second full-text copy in plasma
+            docs = reconstruct_docs(turns, cfg)
+            uniq, _ = exact_dedup(docs, cfg)
+            uniq = uniq.materialize()
+            bands = band_explode(sketch_docs(uniq, cfg), cfg)
         return uniq, _tag_side(bands, side)
 
-    q_docs, q_bands = side_chain(query_turns, "q")
-    i_docs, i_bands = side_chain(index_turns, "i")
+    q_docs, q_bands = side_chain(query_turns, "q", query_side)
+    i_docs, i_bands = side_chain(index_turns, "i", index_side)
     bands = q_bands.union(i_bands).materialize()
 
     hot = hot_bucket_keys(bands.drop_columns(["side"]), cfg)
@@ -125,23 +141,12 @@ def match_query_vs_index(query_turns: ray.data.Dataset,
         from miekki_ray.stages.verify import empty_verified
         out = empty_verified()
     else:
-        # queries join on 'a' against query docs, 'b' against index docs
-        from miekki_ray.functions.util import ensure_schema
-        from miekki_ray.stages.verify import join_width
-        slim_q = q_docs.select_columns(["conv_id", "doc"])
-        slim_i = i_docs.select_columns(["conv_id", "doc"])
-        # the shared measured join-width policy (verify.join_width) —
-        # a hand-rolled copy here had already drifted from its tuning
-        pj = join_width(cfg, pairs.count())
-        j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                               ("n_bands", pa.int32()),
-                               ("doc_a", pa.large_string())])
-        j = pairs.join(slim_q, join_type="inner", num_partitions=pj,
-                       on=("a",), right_on=("conv_id",))
-        j = ensure_schema(rename(j, {"doc": "doc_a"}), j1_schema)
-        j = j.join(slim_i, join_type="inner", num_partitions=pj,
-                   on=("b",), right_on=("conv_id",))
-        j = rename(j, {"doc": "doc_b"})
+        # a joins against query docs, b against index docs — THE shared
+        # attach_docs plumbing (schema pin, empty-block guard, measured
+        # join-width policy), not a second hand-rolled copy of it
+        from miekki_ray.stages.verify import attach_docs
+        j = attach_docs(pairs, q_docs, cfg, n_pairs=pairs.count(),
+                        docs_b=i_docs)
         out = verify_pairs(j, cfg)
     return rename(out, {"a": "query_id", "b": "index_id"})
 

@@ -220,7 +220,7 @@ def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
     """A1 — dedupe (a,b) and count how many buckets agreed (n_bands)."""
     P = cfg.num_partitions
 
-    from miekki_ray.functions.util import pa_from_pandas
+    from miekki_ray.functions.util import pa_from_pandas, str_part
 
     def add_part(batch: pd.DataFrame) -> pa.Table:
         if len(batch) == 0 or "a" not in batch.columns:
@@ -228,11 +228,9 @@ def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
             return pa.table({"a": pa.array([], type=pa.string()),
                              "b": pa.array([], type=pa.string()),
                              "_part": pa.array([], type=pa.int32())})
-        h = pd.util.hash_pandas_object(
-            batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
-            index=False).to_numpy(dtype=np.uint64)
         batch = batch.copy()
-        batch["_part"] = (h % U64(P)).astype(np.int32)
+        batch["_part"] = str_part(
+            batch["a"].astype(str) + "\x00" + batch["b"].astype(str), P)
         return pa_from_pandas(batch)
 
     def uniq(group: pd.DataFrame) -> pa.Table:

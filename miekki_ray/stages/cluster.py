@@ -31,28 +31,6 @@ import ray.data
 from miekki_ray.config import DedupConfig
 
 
-class UnionFindDict:
-    """Dict-backed union-find with min-id roots (for driver-side merging of
-    modest id sets, e.g. incremental-run cluster stitching)."""
-
-    def __init__(self) -> None:
-        self.parent: dict[str, str] = {}
-
-    def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        while p != self.parent[p]:
-            self.parent[p] = self.parent[self.parent[p]]
-            p = self.parent[p]
-        self.parent[x] = p
-        return p
-
-    def union(self, a: str, b: str) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            self.parent[hi] = lo
-
-
 def _unionfind_pandas(edges: pd.DataFrame) -> dict[str, str]:
     """conv_id -> cluster_id (= component-min conv_id) for ids in edges."""
     ids = pd.unique(pd.concat([edges["a"], edges["b"]], ignore_index=True))

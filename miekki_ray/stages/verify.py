@@ -75,19 +75,27 @@ def join_width(cfg: DedupConfig | int, n_pairs: int | None) -> int:
 
 def attach_docs(pairs: ray.data.Dataset, docs: ray.data.Dataset,
                 cfg: DedupConfig,
-                n_pairs: int | None = None) -> ray.data.Dataset:
+                n_pairs: int | None = None,
+                docs_b: ray.data.Dataset | None = None
+                ) -> ray.data.Dataset:
     """J2 — (a, b, n_bands) ⨝ docs → (a, b, n_bands, doc_a, doc_b).
-    Shuffle #4: hash join on a, then on b."""
+    Shuffle #4: hash join on a, then on b. ``docs_b`` (default: the same
+    table) supplies the b side — the query-vs-index pipeline joins a
+    against query docs and b against index docs through THIS plumbing,
+    so the schema pin / empty-block guard / width tuning can never
+    drift between the two call sites again."""
     from miekki_ray.functions.util import ensure_schema, rename
-    slim = docs.select_columns(["conv_id", "doc"])
+    slim_a = docs.select_columns(["conv_id", "doc"])
+    slim_b = (docs_b if docs_b is not None else docs) \
+        .select_columns(["conv_id", "doc"])
     P = join_width(cfg, n_pairs)
     j1_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                            ("n_bands", pa.int32()),
                            ("doc_a", pa.large_string())])
-    j1 = pairs.join(slim, join_type="inner", num_partitions=P,
+    j1 = pairs.join(slim_a, join_type="inner", num_partitions=P,
                     on=("a",), right_on=("conv_id",))
     j1 = ensure_schema(rename(j1, {"doc": "doc_a"}), j1_schema)
-    j2 = j1.join(slim, join_type="inner", num_partitions=P,
+    j2 = j1.join(slim_b, join_type="inner", num_partitions=P,
                  on=("b",), right_on=("conv_id",))
     return rename(j2, {"doc": "doc_b"})
 

@@ -26,6 +26,17 @@ import ray.data
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def stage_metrics(stage_dir: str) -> dict:
+    """The 'metrics' block of a stage manifest ({} if absent/unreadable)
+    — how a RESUMED run recovers the counters its skipped stage recorded
+    when it originally executed."""
+    try:
+        with open(_manifest_path(stage_dir)) as f:
+            return json.load(f).get("metrics", {}) or {}
+    except (OSError, ValueError):
+        return {}
+
+
 def _manifest_path(stage_dir: str) -> str:
     return os.path.join(stage_dir, MANIFEST_NAME)
 
@@ -100,10 +111,12 @@ def manifest_valid(stage_dir: str, config_hash: str,
 
 def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
                 config_hash: str, upstream_hash: str | None = None,
-                metrics: dict | None = None,
+                metrics=None,
                 input_fp: str | None = None) -> str:
     """Write stage output + manifest (manifest LAST, atomic tmp+rename).
-    Returns the stage directory."""
+    Returns the stage directory. ``metrics`` may be a dict or a CALLABLE
+    invoked after the data write — stage counters (MetricsSink) only
+    exist once execution has run, which happens inside write_parquet."""
     stage_dir = os.path.join(out_dir, stage)
     os.makedirs(stage_dir, exist_ok=True)
     # clear any previous attempt's data AND manifest AND orphaned manifest
@@ -131,7 +144,7 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
         "input_fingerprint": input_fp,
         "partitions": parts,
         "total_rows": total,
-        "metrics": metrics or {},
+        "metrics": (metrics() if callable(metrics) else metrics) or {},
     }
     fd, tmp = tempfile.mkstemp(dir=stage_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
@@ -166,7 +179,8 @@ class StageRunner:
         self.skipped: list[str] = []
 
     def run(self, stage: str, fn, upstream_dir: str | None = None,
-            input_fp: str | None = None) -> tuple[ray.data.Dataset, str]:
+            input_fp: str | None = None,
+            metrics_fn=None) -> tuple[ray.data.Dataset, str]:
         stage_dir = os.path.join(self.out_dir, stage)
         up_hash = manifest_hash(upstream_dir) if upstream_dir else None
         if manifest_valid(stage_dir, self.config_hash, up_hash,
@@ -176,6 +190,6 @@ class StageRunner:
             return read_stage(stage_dir), stage_dir
         ds = fn()
         write_stage(ds, self.out_dir, stage, self.config_hash, up_hash,
-                    input_fp=input_fp)
+                    input_fp=input_fp, metrics=metrics_fn)
         self.ran.append(stage)
         return read_stage(stage_dir), stage_dir

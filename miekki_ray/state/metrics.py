@@ -46,11 +46,16 @@ class MetricsSink:
 
 
 def emit(metrics_name: str | None, kv: dict[str, float]) -> None:
-    """Fire-and-forget counter add from inside a worker task."""
+    """ACKNOWLEDGED counter add from inside a worker task: the ray.get
+    waits for the actor to apply the add before the task returns its own
+    result, so a driver that has consumed the stage output can never
+    collect() ahead of an in-flight add (fire-and-forget gave Ray no
+    cross-caller ordering and silently dropped late counters). One ~ms
+    round-trip per TASK — emit is called at task flush, not per batch."""
     if not metrics_name or not kv:
         return
     try:
         actor = ray.get_actor(metrics_name)
-        actor.add.remote(kv)
+        ray.get(actor.add.remote(kv))
     except ValueError:
         pass  # sink already closed (e.g. stage re-executed after collect)

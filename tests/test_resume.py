@@ -173,3 +173,28 @@ def test_end_to_end_resume_identical(small_corpus, cfg, tmp_path):
     assert "docs" in r2.metrics["skipped"]
     assert "verified" in r2.metrics["ran"]
     pd.testing.assert_frame_equal(c1, c2)
+
+
+def test_pairs_manifest_carries_metrics(small_corpus, cfg, tmp_path):
+    """The manifest contract is lineage + METRICS: the pairs stage
+    manifest must carry the salted/capped recall accounting, a resumed
+    run must recover the same counters from it, and DedupResult.metrics
+    must expose them on both runs."""
+    import json
+
+    from miekki_ray.pipelines.dedup import run_dedup
+
+    turns, _ = small_corpus
+    ds = ray.data.from_arrow(turns)
+    out = str(tmp_path / "runm")
+    r1 = run_dedup(ds, cfg, out_dir=out)
+    with open(os.path.join(out, "pairs", "_MANIFEST.json")) as f:
+        m = json.load(f)["metrics"]
+    # counters exist iff salting/caps fired on this corpus; either way
+    # the manifest block and the result metrics must AGREE
+    assert {k: v for k, v in r1.metrics.items()
+            if k not in ("ran", "skipped")} == m
+    r2 = run_dedup(ds, cfg, out_dir=out)          # full resume
+    assert "pairs" in r2.metrics["skipped"]
+    assert {k: v for k, v in r2.metrics.items()
+            if k not in ("ran", "skipped")} == m
