@@ -1357,7 +1357,7 @@ def oracle_sql() -> dict[str, str]:
             -- grouping by c_name would silently merge customers that
             -- happen to share a name
             SELECT c_name, total_spend, n_orders FROM (
-              SELECT o_custkey, SUM(o_totalprice) AS total_spend,
+              SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
                      COUNT(*) AS n_orders
               FROM orders GROUP BY o_custkey) s
             JOIN customer ON o_custkey = c_custkey

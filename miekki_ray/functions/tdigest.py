@@ -120,7 +120,9 @@ def grouped_approx_quantiles(ds: ray.data.Dataset, key: str,
             for mb, cb in zip(grp["_m"], grp["_c"]):
                 dig = merge(dig, (np.frombuffer(mb), np.frombuffer(cb)), d)
             out.append((k, *np.round(quantile(dig, np.asarray(qs)), 6)))
-        cols = [key] + [f"p{int(q * 100)}" for q in qs]
+        # round, don't truncate: int(0.29 * 100) == 28 (inexact float
+        # product) would silently mislabel the quantile column
+        cols = [key] + [f"p{int(round(q * 100))}" for q in qs]
         return pd.DataFrame(out, columns=cols)
 
     return (ds.map_batches(partial, batch_format="pandas")

@@ -41,6 +41,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None
     return ds if sch is not None else strip_schema_metadata(ds)
 
 
+def _md5_hex(ids) -> np.ndarray:
+    """THE content-addressed sampling digest (md5 of the DECIMAL doc id)
+    in one place: hash_sample / stratified_sample / mix_sample and their
+    three oracle SQL twins all state this predicate — one helper so the
+    encoding can never drift between the copies."""
+    import hashlib
+
+    return np.fromiter(
+        (hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids),
+        dtype="<U32", count=len(ids))
+
+
 # ---------------------------------------------------------------- aggregates
 
 def lineitem_agg(sf_dir: str):
@@ -132,7 +144,18 @@ def orders_join_customer_top10(sf_dir: str,
     else:
         j = spend.join(cust, join_type="inner", num_partitions=8,
                        on=("o_custkey",), right_on=("c_custkey",))
-    return (j.select_columns(["c_name", "total_spend", "n_orders"])
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        # round-to-cents BEFORE the sort (repo-wide grouped-float-sum
+        # discipline, cf. lineitem_agg): the distributed sum's block
+        # arrival order can drift ulps from DuckDB's sequential sum, and
+        # an unrounded float is both the hash payload and the sort key
+        b = b.copy()
+        b["total_spend"] = round_half_away(b["total_spend"].to_numpy(), 2)
+        return b
+
+    return (j.map_batches(rnd, batch_format="pandas")
+            .select_columns(["c_name", "total_spend", "n_orders"])
             .sort(["total_spend", "c_name"], descending=[True, False])
             .limit(10))
 
@@ -202,12 +225,20 @@ def supplier_nation_region(sf_dir: str):
         import ray as _r
         nm, rk, rm = _r.get(ref)
         nk = batch["s_nationkey"].to_pylist()
-        return pa.table({
+        # .get, not [k]: an unmatched FK must DROP the row (the oracle's
+        # inner join semantics), not KeyError the whole job — corpora
+        # without TPC-H referential integrity exist
+        n_name = [nm.get(k) for k in nk]
+        r_name = [rm.get(rk.get(k)) for k in nk]
+        t = pa.table({
             "s_suppkey": batch["s_suppkey"],
             "s_name": batch["s_name"],
-            "n_name": pa.array([nm[k] for k in nk], type=pa.string()),
-            "r_name": pa.array([rm[rk[k]] for k in nk], type=pa.string()),
+            "n_name": pa.array(n_name, type=pa.string()),
+            "r_name": pa.array(r_name, type=pa.string()),
         })
+        import pyarrow.compute as pc
+        return t.filter(pc.and_(pc.is_valid(t["n_name"]),
+                                pc.is_valid(t["r_name"])))
 
     return sup.map_batches(attach, batch_format="pyarrow",
                            zero_copy_batch=True).sort("s_suppkey")
@@ -449,8 +480,10 @@ def documents_top_tokens(sf_dir: str, k: int = 20):
     shape. Each batch pre-aggregates its own (token, n) counts BEFORE the
     shuffle (combiner pattern: the grouped exchange moves one row per
     distinct token per batch, not one per token occurrence), then one
-    grouped sum + top-k sort. Tokenization is Python str.split()
-    semantics (whitespace runs, incl. 0x1c-0x1f)."""
+    grouped sum + top-k sort. Tokenization is TOKEN_SPLIT_RE (ASCII
+    whitespace + 0x1c-0x1f) — NOT Python str.split(), which is
+    Unicode-aware and diverges on NBSP / \\v (textstats.py pins the
+    distinction; the oracle's RE2 split class matches this regex)."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["text"])
@@ -474,16 +507,12 @@ def documents_hash_sample(sf_dir: str):
     md5 is per-row C code via hashlib; for pure-speed sampling at scale
     use a vectorized splitmix64 over the int key instead (the predicate
     just has to be stated consistently on both sides)."""
-    import hashlib
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest()[0] == "0"
-             for i in batch["doc_id"].astype("int64")),
-            dtype=bool, count=len(batch))
-        out = batch[keep]
+        dg = _md5_hex(batch["doc_id"].astype("int64"))
+        out = batch[np.char.startswith(dg, "0")]
         return pd.DataFrame({
             "doc_id": out["doc_id"].astype("int64"),
             "n_chars": out["text"].str.len().astype("int64"),
@@ -735,18 +764,14 @@ def documents_stratified_sample(sf_dir: str, n: int = 5):
     coarse-partition + one-vectorized-rank-pass idiom as
     customers_top_per_segment; md5 is per-row C code (hashlib), fine for
     a sampling stage."""
-    import hashlib
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     P = 8
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].astype("int64")
-        md5 = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest() for i in ids),
-            dtype="<U32", count=len(batch))
         return pd.DataFrame({
-            "doc_id": ids, "lang": batch["lang"], "_md5": md5,
+            "doc_id": ids, "lang": batch["lang"], "_md5": _md5_hex(ids),
             "_p": str_part(batch["lang"], P)})
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
@@ -1157,15 +1182,12 @@ def documents_mix_sample(sf_dir: str):
     in 0-7 (rate 1/2), odd-indexed keep 0-3 (rate 1/4). The rate table
     is the contract; the oracle states the identical predicate. Stateless
     map — at 100 TB the mix step costs one streaming pass, no shuffle."""
-    import hashlib
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].astype("int64")
-        first = np.fromiter(
-            (hashlib.md5(str(i).encode()).hexdigest()[0] for i in ids),
-            dtype="<U1", count=len(batch))
+        first = _md5_hex(ids).astype("<U1")
         src_idx = (batch["source"].str.slice(3).astype(np.int64)
                    .to_numpy())
         rank = np.array([int(c, 16) for c in first], dtype=np.int64)

@@ -48,6 +48,11 @@ def _mat(batch: pa.Table, col: str, dtype=np.float32) -> np.ndarray:
             dtype, copy=False)
     offs = arr.offsets.to_numpy()
     d = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    if len(arr) == 0:
+        # empty variable-length list batch: offsets has ONE element, so
+        # d=0 and reshape(-1, 0) raises — return an explicit (0, 0)
+        # matrix (empty blocks occur after splits/filters/joins [env])
+        return np.empty((0, d), dtype=dtype)
     flat = arr.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(-1, d).astype(dtype, copy=False)
 
@@ -133,6 +138,21 @@ class _LSHParams:
     def bucket(self, m: np.ndarray) -> np.ndarray:
         bits = (m @ self.planes) > 0
         return bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+
+
+# warm-worker plane cache: the hyperplane matrix depends on the vector
+# dim, which is only known once a batch arrives — build it ONCE per
+# worker process per (d, n_planes, seed), not once per batch (the same
+# deserialize-once pattern as scrub._GRAM_CACHE)
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _cached_planes(d: int, n_planes: int, seed: int) -> np.ndarray:
+    key = (d, n_planes, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = _PLANES_CACHE[key] = _LSHParams(d, n_planes, seed).planes
+    return p
 
 
 def lsh_topk(embeddings: ray.data.Dataset, queries: np.ndarray, k: int = 10,
@@ -408,21 +428,39 @@ def ivf_centroids(embeddings: ray.data.Dataset, n_centroids: int = 64,
     import os
 
     if artifact_path and os.path.exists(artifact_path):
-        cent = np.load(artifact_path)
         # validate before trusting: a stale artifact from a different
         # config (or older trainer code, or a corpus whose embedding dim
         # changed) silently re-shapes cell_queries / crashes the probe
-        # matmul — self-heal by retraining
-        if (cent.ndim == 2 and cent.shape[0] == n_centroids
-                and (expected_dim is None or cent.shape[1] == expected_dim)):
-            return cent
+        # matmul — self-heal by retraining. The artifact stores the
+        # REQUESTED config alongside the centroids: a small corpus
+        # legitimately yields k < n_centroids rows (_kmeans_fit returns
+        # min(n_centroids, n_sample)), so validating shape[0] alone
+        # would retrain-and-rewrite on every call, never achieving
+        # train-once/persist/reuse.
+        loaded = np.load(artifact_path, allow_pickle=False)
+        if isinstance(loaded, np.lib.npyio.NpzFile):
+            cent = loaded["cent"]
+            meta = loaded["meta"].tolist()
+            loaded.close()
+            if (meta == [n_centroids, seed, train_sample]
+                    and cent.ndim == 2
+                    and (expected_dim is None
+                         or cent.shape[1] == expected_dim)):
+                return cent
+        else:                                 # legacy bare-array artifact
+            cent = loaded
+            if (cent.ndim == 2 and cent.shape[0] == n_centroids
+                    and (expected_dim is None
+                         or cent.shape[1] == expected_dim)):
+                return cent
     sample_tbl = embeddings.limit(train_sample).to_pandas()
     sm = _normalize(np.stack(
         sample_tbl[vec_col].map(np.asarray).to_list()).astype(np.float64))
     cent = _kmeans_fit(sm, n_centroids, seed)
     if artifact_path:
-        tmp = artifact_path + ".tmp.npy"   # .npy suffix: np.save won't append
-        np.save(tmp, cent)
+        tmp = artifact_path + ".tmp.npz"   # suffix: np.savez won't append
+        np.savez(tmp, cent=cent,
+                 meta=np.array([n_centroids, seed, train_sample]))
         os.replace(tmp, artifact_path)
     return cent
 
@@ -526,12 +564,20 @@ def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float = 0.98,
     c misses one table w.p. ~(n_planes·acos(c)/π), and all tables w.p. that
     to the n_tables-th power — the standard recall lever."""
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty: id/vec columns keep the input types [env]
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "bkey": pa.array([], type=pa.int64()),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            })
         m = _normalize(_mat(batch, vec_col))
         d = m.shape[1]
         keys = []
         for t in range(n_tables):
-            params = _LSHParams(d, n_planes, seed + 1000 * t)
-            keys.append(params.bucket(m) + (t << 48))
+            planes = _cached_planes(d, n_planes, seed + 1000 * t)
+            keys.append(_lsh_keys(m, planes) + (t << 48))
         bk = np.concatenate(keys)
         n = batch.num_rows
         idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables))
