@@ -128,8 +128,11 @@ def orders_join_customer_top10(sf_dir: str,
     spend = (orders.groupby("o_custkey")
              .aggregate(Sum("o_totalprice", alias_name="total_spend"),
                         Count(alias_name="n_orders")))
-    if cust.count() <= broadcast_limit:
-        cpd = cust.to_pandas()
+    # ONE executor pass decides the switch AND fetches the lookup
+    # (count() + to_pandas() would read customer twice; limit(N+1)
+    # stops early on a huge table — the drop_losers fetch pattern)
+    cpd = cust.limit(broadcast_limit + 1).to_pandas()
+    if len(cpd) <= broadcast_limit:
         ref = ray.put(pd.Series(cpd["c_name"].to_numpy(),
                                 index=cpd["c_custkey"].to_numpy()))
 
@@ -221,24 +224,33 @@ def supplier_nation_region(sf_dir: str):
     ref = ray.put((nmap, rmap_key, rmap))
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
 
+    _MISS = object()
+
     def attach(batch: pa.Table) -> pa.Table:
         import ray as _r
         nm, rk, rm = _r.get(ref)
         nk = batch["s_nationkey"].to_pylist()
-        # .get, not [k]: an unmatched FK must DROP the row (the oracle's
-        # inner join semantics), not KeyError the whole job — corpora
-        # without TPC-H referential integrity exist
-        n_name = [nm.get(k) for k in nk]
-        r_name = [rm.get(rk.get(k)) for k in nk]
+        # .get with a SENTINEL, not [k]: an unmatched FK must DROP the
+        # row (the oracle's inner join semantics), not KeyError the job
+        # — but a matched key whose name VALUE is NULL must be KEPT with
+        # the null, exactly as the oracle's join would return it
+        n_name = [nm.get(k, _MISS) for k in nk]
+        rkeys = [rk.get(k, _MISS) for k in nk]
+        r_name = [rm.get(x, _MISS) if x is not _MISS else _MISS
+                  for x in rkeys]
+        keep = np.array([a is not _MISS and b is not _MISS
+                         for a, b in zip(n_name, r_name)], dtype=bool)
         t = pa.table({
             "s_suppkey": batch["s_suppkey"],
             "s_name": batch["s_name"],
-            "n_name": pa.array(n_name, type=pa.string()),
-            "r_name": pa.array(r_name, type=pa.string()),
+            "n_name": pa.array(
+                [x if x is not _MISS else None for x in n_name],
+                type=pa.string()),
+            "r_name": pa.array(
+                [x if x is not _MISS else None for x in r_name],
+                type=pa.string()),
         })
-        import pyarrow.compute as pc
-        return t.filter(pc.and_(pc.is_valid(t["n_name"]),
-                                pc.is_valid(t["r_name"])))
+        return t.filter(pa.array(keep))
 
     return sup.map_batches(attach, batch_format="pyarrow",
                            zero_copy_batch=True).sort("s_suppkey")

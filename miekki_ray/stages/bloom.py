@@ -99,19 +99,24 @@ def bloom_semi_join(probe: ray.data.Dataset, build: ray.data.Dataset, *,
     the Bloom prefilter cuts the exact join's shuffled volume and the
     distributed distinct-keys⨝survivors join removes its false
     positives. Identical output, pinned by test_bloom_hll."""
-    if broadcast_limit is not None and build.count() <= broadcast_limit:
-        kp = build.select_columns([build_key]).to_pandas()
-        kref = ray.put(np.unique(
-            kp[build_key].to_numpy(dtype=np.int64)))
+    if broadcast_limit is not None:
+        # ONE executor pass decides the switch AND fetches the keys
+        # (count() + to_pandas() would read build twice; limit(N+1)
+        # stops early on a huge build — the drop_losers fetch pattern)
+        kp = (build.select_columns([build_key])
+              .limit(broadcast_limit + 1).to_pandas())
+        if len(kp) <= broadcast_limit:
+            kref = ray.put(np.unique(
+                kp[build_key].to_numpy(dtype=np.int64)))
 
-        def exact_semi(batch: pa.Table) -> pa.Table:
-            keys_sorted = ray.get(kref)
-            keys = batch[probe_key].to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            return batch.filter(pa.array(np.isin(keys, keys_sorted)))
+            def exact_semi(batch: pa.Table) -> pa.Table:
+                keys_sorted = ray.get(kref)
+                keys = batch[probe_key].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                return batch.filter(pa.array(np.isin(keys, keys_sorted)))
 
-        return probe.map_batches(exact_semi, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+            return probe.map_batches(exact_semi, batch_format="pyarrow",
+                                     zero_copy_batch=True)
 
     bloom = build_bloom(build, build_key, m_bits=m_bits, k=k)
     bloom_ref = ray.put(bloom)  # one object-store copy, read per task

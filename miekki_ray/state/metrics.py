@@ -57,5 +57,9 @@ def emit(metrics_name: str | None, kv: dict[str, float]) -> None:
     try:
         actor = ray.get_actor(metrics_name)
         ray.get(actor.add.remote(kv))
-    except ValueError:
-        pass  # sink already closed (e.g. stage re-executed after collect)
+    except (ValueError, ray.exceptions.RayActorError):
+        # sink already closed (stage re-executed after collect, or a
+        # task retry racing ray.kill): a dropped late counter is the
+        # tolerated outcome — the acknowledged get must not convert it
+        # into a stage failure
+        pass
