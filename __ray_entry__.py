@@ -187,11 +187,11 @@ def _ann_bruteforce(sf_dir: str):
     return brute_force_topk(emb, _query_vecs(sf_dir), k=10)
 
 
-def _ann_lsh(sf_dir: str):
-    import pyarrow.parquet as pq
-    import numpy as np
-    import ray.data
-
+def _ann_lsh_filter(sf_dir: str):
+    """Per-batch bucket-filter LSH — the semantics reference for the
+    graded partitioned construction (``ann_topk_lsh``). Kept registered
+    behind the window and pinned output-identical to the partitioned
+    physical plan by tests/test_similarity.py."""
     from miekki_ray.stages.similarity import lsh_topk
 
     emb = _read_tbl(sf_dir, "embeddings")
@@ -214,32 +214,34 @@ def _jaccard_pairs_exact(sf_dir: str):
         .sort(["a", "b"])
 
 
-def _ann_ivf(sf_dir: str):
-    import pyarrow.parquet as pq
-    import numpy as np
-    import ray.data
-
+def _ann_ivf_filter(sf_dir: str):
+    """Per-batch cell-filter IVF — the semantics reference for the graded
+    partitioned construction (``ann_topk_ivf``). Kept registered behind
+    the window and pinned output-identical to the partitioned physical
+    plan by tests/test_similarity.py."""
     from miekki_ray.stages.similarity import ivf_topk
 
     emb = _read_tbl(sf_dir, "embeddings")
     return ivf_topk(emb, _query_vecs(sf_dir), k=10)
 
 
-def _ann_lsh_partitioned(sf_dir: str):
-    """Cluster-scale LSH top-k: bucket-keyed groupby (members co-locate),
-    unprobed buckets pruned before the shuffle. Rows-only; pinned
-    output-identical to ann_topk_lsh's filter construction by pytest."""
+def _ann_lsh(sf_dir: str):
+    """GRADED LSH entry (VERDICT r3 Next #1): the cluster-scale
+    construction — bucket-keyed groupby (members co-locate), unprobed
+    buckets pruned before the shuffle. Rows-only; pinned output-identical
+    to the ``lsh_topk`` filter variant by pytest."""
     from miekki_ray.stages.similarity import lsh_topk_partitioned
 
     emb = _read_tbl(sf_dir, "embeddings")
     return lsh_topk_partitioned(emb, _query_vecs(sf_dir), k=10)
 
 
-def _ann_ivf_partitioned(sf_dir: str):
-    """Cluster-scale IVF (r3): cell-keyed groupby co-locates each Voronoi
-    cell, unprobed cells pruned before the shuffle, centroids a persisted
-    artifact. Rows-only (ANN recall < 1 is not SQL-expressible); the
-    recall gate vs brute force is tests/test_similarity.py."""
+def _ann_ivf(sf_dir: str):
+    """GRADED IVF entry (VERDICT r3 Next #1): cell-keyed groupby
+    co-locates each Voronoi cell, unprobed cells pruned before the
+    shuffle, centroids a persisted artifact. Rows-only (ANN recall < 1 is
+    not SQL-expressible); the recall gate vs brute force and the
+    filter-variant equivalence pins are tests/test_similarity.py."""
     import hashlib
     import os
     import tempfile
@@ -1102,7 +1104,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _media_decode,
         # --- new in r3 ---
         "orders_sorted": R.orders_sorted,
-        "ann_topk_ivf_partitioned": _ann_ivf_partitioned,
+        # GRADED ANN = the cluster-scale partitioned constructions as of
+        # r4 (VERDICT r3 Next #1). r3's `ann_topk_ivf_partitioned`
+        # (driver-green r03) and `ann_topk_lsh_partitioned` are THESE
+        # same impls under their graded names; the per-batch filter
+        # variants are registered behind the window as *_filter and
+        # pinned output-identical in tests/test_similarity.py.
+        "ann_topk_ivf": _ann_ivf,
+        "ann_topk_lsh": _ann_lsh,
         # --- flagship-family sentinels (driver hash-green in r2; keep a
         # --- row every round) ---
         "dedup_clusters": _dedup_clusters,
@@ -1159,8 +1168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "embedding_pairs_exact": _embedding_pairs_exact,
         "ann_topk_bruteforce": _ann_bruteforce,
-        "ann_topk_lsh": _ann_lsh,
-        "ann_topk_ivf": _ann_ivf,
+        "ann_topk_lsh_filter": _ann_lsh_filter,
+        "ann_topk_ivf_filter": _ann_ivf_filter,
         # as-of join / range join / sketch aggregates / format round-trips
         "events_asof_orders": _events_asof_orders,
         "events_range_next10m": _events_range_next10m,
@@ -1173,7 +1182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _media_frames,
         "media_meta_stats": _media_stats,
         "documents_pack_bins_bpe": _documents_pack_bins_bpe,
-        "ann_topk_lsh_partitioned": _ann_lsh_partitioned,
     }
 
 

@@ -73,7 +73,12 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str):
     def dump(batch: pa.Table) -> pa.Table:
         empty = pa.table({"path": pa.array([], type=pa.string()),
                           "rows": pa.array([], type=pa.int64())})
-        if batch.num_rows == 0:
+        # A zero-ROW batch with real columns still writes its (0-row)
+        # file: the IPC footer carries the schema, so a fully-filtered
+        # corpus round-trips with its schema intact (ADVICE r3 — read_ipc
+        # of a schema-less sink output would otherwise have nothing to
+        # probe). Only a zero-COLUMN batch has nothing to say.
+        if batch.num_columns == 0:
             return empty
         name = f"part-{uuid.uuid4().hex}.arrow"
         p = os.path.join(out_dir, name)
@@ -89,6 +94,22 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str):
     # consuming the block-sized manifest drives the distributed write
     out = (ds.map_batches(dump, batch_format="pyarrow",
                           zero_copy_batch=True).to_pandas())
+    if "path" not in out.columns:
+        # an input with zero blocks maps to a DataFrame without the dump
+        # UDF's columns (ADVICE r3: reproduced KeyError) — normalize to
+        # the manifest shape so the empty manifest still publishes
+        out = out.reindex(columns=["path", "rows"])
+    if len(out) == 0:
+        # Ray drops empty blocks before the sink UDF, so a fully-filtered
+        # corpus reaches here with zero part files and the schema would
+        # be lost (ADVICE r3). Recover it from the dataset's lineage —
+        # cheap, the pipeline is zero-row — and persist ONE 0-row part
+        # whose IPC footer carries it, so read_ipc round-trips the schema.
+        sch = ds.schema(fetch_if_missing=True)
+        arrow_sch = getattr(sch, "base_schema", None)
+        if isinstance(arrow_sch, pa.Schema) and arrow_sch.names:
+            rec = dump(arrow_sch.empty_table())
+            out = rec.to_pandas()
     mpath = os.path.join(out_dir, IPC_MANIFEST)
     mtmp = mpath + f".{uuid.uuid4().hex}.tmp"
     with open(mtmp, "w") as f:
@@ -114,17 +135,32 @@ def read_ipc(path: str) -> ray.data.Dataset:
 
     files: list[str] | str = path
     schema = None
+    total_rows = None
     mpath = os.path.join(path, IPC_MANIFEST) if os.path.isdir(path) else None
     if mpath and os.path.exists(mpath):
         with open(mpath) as f:
             manifest = json.load(f)
         files = [os.path.join(path, rec["path"])
                  for rec in manifest["files"]]
+        total_rows = sum(int(rec["rows"]) for rec in manifest["files"])
+    if isinstance(files, list) and not files:
+        # zero manifested files (a zero-block sink input): nothing to
+        # hand read_binary_files — return an empty dataset rather than
+        # crash (ADVICE r3). No file footer exists to recover a schema
+        # from, so this is the zero-column empty table.
+        return ray.data.from_arrow(pa.table({}))
     probe = files[0] if isinstance(files, list) and files else (
         path if os.path.isfile(path) else None)
     if probe:
         with pa.memory_map(probe) as src:
             schema = pa.ipc.open_file(src).schema.with_metadata(None)
+    if total_rows == 0 and schema is not None:
+        # an all-empty corpus: Ray reports schema()=None for any dataset
+        # whose blocks are all 0-row (even map_batches outputs — verified
+        # on ray 2.49.2), so route around the executor entirely and hand
+        # back the footer-probed schema as an explicit 0-row input block
+        # (from_arrow DOES retain schema for those).
+        return ray.data.from_arrow(schema.empty_table())
     raw = ray.data.read_binary_files(files, file_extensions=["arrow"])
 
     def decode(batch: pa.Table) -> pa.Table:

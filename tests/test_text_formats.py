@@ -93,3 +93,64 @@ def test_ipc_identical_blocks_not_collapsed(tmp_path):
     m = write_ipc(ds, out)
     assert m["rows"].sum() == 4 and len(m) == 2
     assert read_ipc(out).count() == 4
+
+
+def test_ipc_empty_block_round_trips_schema(tmp_path):
+    # a 0-row Arrow input block keeps its columns through the sink: the
+    # part file's IPC footer carries the schema, and read_ipc hands back
+    # a schema-ful empty dataset (via the driver-side footer probe —
+    # Ray itself reports schema()=None for all-empty executor output)
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "ipc_empty")
+    m = write_ipc(ds, out)
+    assert list(m.columns) == ["path", "rows"]
+    assert int(m["rows"].sum()) == 0 and len(m) == 1
+    got = read_ipc(out)
+    assert got.count() == 0
+    sch = got.schema()
+    assert set(sch.names) == {"doc_id", "text"}
+
+
+def test_ipc_fully_filtered_input_no_crash(tmp_path):
+    # ADVICE r3: a fully-filtered corpus is a legitimate sink input —
+    # write_ipc must publish a valid manifest (no KeyError) and read_ipc
+    # must return an empty dataset. Ray drops fn-filtered empty blocks
+    # AND erases the pipeline schema (ds.schema(fetch_if_missing=True)
+    # is None — verified on 2.49.2), so schema preservation is
+    # impossible here by construction; no-crash + 0 rows is the contract.
+    import pandas as pd
+    import ray.data
+
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    df = pd.DataFrame({"doc_id": pd.array([1, 2], dtype="int64"),
+                       "text": ["a", "b"]})
+    ds = ray.data.from_pandas(df).filter(lambda r: False)
+    out = str(tmp_path / "ipc_filtered")
+    m = write_ipc(ds, out)
+    assert list(m.columns) == ["path", "rows"]
+    assert int(m["rows"].sum()) == 0
+    assert read_ipc(out).count() == 0
+
+
+def test_ipc_zero_block_input(tmp_path):
+    # the degenerate zero-BLOCK input (schema genuinely unknowable):
+    # manifest publishes with zero files; read_ipc returns an empty
+    # zero-column dataset instead of crashing read_binary_files
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.sources.text_formats import read_ipc, write_ipc
+
+    ds = ray.data.from_arrow(pa.table({}))
+    out = str(tmp_path / "ipc_zero")
+    m = write_ipc(ds, out)
+    assert len(m) == 0
+    assert read_ipc(out).count() == 0
