@@ -229,6 +229,20 @@ def _host_membw_probe(n_procs: int, seconds: float = 4.0) -> float:
     return float(total)
 
 
+def _paired_median(pairs: list[dict]) -> float:
+    """Median per-pair efficiency for the paired-interleaved protocol.
+
+    A resumed pair's legs were measured in DIFFERENT host windows —
+    exactly the cross-window bias pairing exists to cancel — so when any
+    fully back-to-back pair exists, the median uses ONLY those; resumed
+    pairs stay in the run record for forensics (ADVICE r3)."""
+    fresh = [p for p in pairs if not p.get("resumed")] or pairs
+    effs = sorted(p["eff"] for p in fresh)
+    mid = len(effs) // 2
+    return effs[mid] if len(effs) % 2 else round(
+        (effs[mid - 1] + effs[mid]) / 2, 3)
+
+
 def run_scaling() -> dict:
     """Same job, fresh ray sessions at N and 4N CPUs (driver-mandated
     substitute for N- vs 4N-node clusters). Default N=4 (i.e. 4 vs 16
@@ -316,10 +330,7 @@ def run_scaling() -> dict:
                     (_host_cpu_probe(hi_cpu) / _host_cpu_probe(lo_cpu))
                     / ratio, 3),
                 "resumed": resumed})
-        effs = sorted(p["eff"] for p in pairs)
-        mid = len(effs) // 2
-        eff = effs[mid] if len(effs) % 2 else round(
-            (effs[mid - 1] + effs[mid]) / 2, 3)
+        eff = _paired_median(pairs)
         lo = min((ckpt[(lo_cpu, i)] for i in range(trials)),
                  key=lambda r: r["value"])
         hi = min((ckpt[(hi_cpu, i)] for i in range(trials)),
@@ -355,6 +366,8 @@ def run_scaling() -> dict:
     if pairs is not None:
         out["protocol"] = "paired_median"
         out["pairs"] = pairs
+        out["pairs_in_median"] = sum(
+            1 for p in pairs if not p["resumed"]) or len(pairs)
     return out
 
 

@@ -140,8 +140,12 @@ def orders_join_customer_top10(sf_dir: str,
             names = ray.get(ref)
             out = batch.copy()
             out["c_name"] = batch["o_custkey"].map(names)
-            # inner-join semantics: drop spend rows with no customer
-            return out[out["c_name"].notna()]
+            # inner-join semantics: drop spend rows whose KEY is missing.
+            # Membership test, not notna() on the looked-up value — a
+            # matched key whose c_name is NULL must survive (same
+            # missing-key-sentinel discipline as supplier_nation_region;
+            # the hash-join path and the SQL oracle both keep it).
+            return out[batch["o_custkey"].isin(names.index).to_numpy()]
 
         j = spend.map_batches(attach, batch_format="pandas")
     else:

@@ -101,3 +101,42 @@ def test_orders_join_customer_paths_identical():
     b = orders_join_customer_top10(SF, broadcast_limit=0).to_pandas()
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+def test_orders_join_customer_null_name_survives(tmp_path):
+    """ADVICE r3: a matched key whose c_name is NULL must survive the
+    broadcast path's inner-join drop (key membership, not notna on the
+    looked-up value) — TPC-H names are non-null so this needs a
+    synthetic sf_dir. An orders row with a key absent from customer must
+    still be dropped, on BOTH physical paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from miekki_ray.relational import orders_join_customer_top10
+
+    d = str(tmp_path)
+    # filler keys 10..49 keep every hash-shuffle partition non-empty
+    # (Ray's join crashes on schema-less empty aggregator blocks)
+    filler = list(range(10, 50))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 99] + filler, type=pa.int64()),
+        "o_totalprice": pa.array([10.0, 5.0, 7.0, 100.0]
+                                 + [1.0] * len(filler), type=pa.float64()),
+    }), f"{d}/orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2] + filler, type=pa.int64()),
+        "c_name": pa.array(["alice", None]
+                           + [f"c{k}" for k in filler], type=pa.string()),
+    }), f"{d}/customer.parquet")
+    a = orders_join_customer_top10(d).to_pandas()
+    b = orders_join_customer_top10(d, broadcast_limit=0).to_pandas()
+    for got in (a, b):
+        # key 99 (no customer row) dropped; key 2 (NULL name) kept and
+        # its aggregate carried through with a null c_name
+        assert 100.0 not in set(got["total_spend"])
+        assert {15.0, 7.0} <= set(got["total_spend"])
+        null_row = got[got["total_spend"] == 7.0].iloc[0]
+        assert pd.isna(null_row["c_name"])
+    pd.testing.assert_frame_equal(
+        a.sort_values("total_spend").reset_index(drop=True),
+        b.sort_values("total_spend").reset_index(drop=True))
