@@ -683,44 +683,44 @@ def lineitem_semi_hot_orders(sf_dir: str):
     return out.map_batches(rnd, batch_format="pandas").sort("l_returnflag")
 
 
-def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
-    """Per-doc top-k terms by TF-IDF — the vocabulary-broadcast pattern:
-    pass 1 computes document frequency per token with the combiner idiom
-    (per-batch DISTINCT doc-token pairs, then one grouped sum over
-    vocabulary-sized rows); the resulting df table is vocabulary-sized
-    (grows ~log with corpus), so it is `ray.put` ONCE and merged into
-    every scoring batch — pass 2 then needs NO shuffle at all, because a
-    doc's terms never leave its batch. Ranking is integer-exact
-    (tf DESC, df ASC, token ASC) so the oracle comparison cannot flip on
-    float ties; tfidf = tf·ln(N/df) is reported as a rounded column."""
+def documents_tfidf_top_terms(sf_dir: str, k: int = 3,
+                              broadcast_limit: int = 2_000_000):
+    """Per-doc top-k terms by TF-IDF with a size-gated df-table plan
+    (VERDICT r3 Next #3): pass 1 computes document frequency per token
+    with the combiner idiom (per-batch DISTINCT doc-token pairs, then
+    one grouped sum over vocabulary-sized rows). Below
+    ``broadcast_limit`` distinct tokens the df table is `ray.put` ONCE
+    and merged into every scoring batch — pass 2 then needs NO shuffle,
+    because a doc's terms never leave its batch. Above it (web-scale
+    text: distinct raw tokens reach 1e8-1e9, Heaps' law notwithstanding)
+    the df table never touches the driver: the per-doc term counts
+    co-partition with the df table on token (hash join), then ONE
+    doc-keyed exchange regroups each doc's terms for ranking. Both plans
+    are output-identical (tests/test_relational_outer_sample.py pins the
+    switch at limit 0). Ranking is integer-exact (tf DESC, df ASC,
+    token ASC) so the oracle comparison cannot flip on float ties;
+    tfidf = tf·ln(N/df) is reported as a rounded column."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n_docs = ds.count()
 
-    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def tokens(batch: pd.DataFrame) -> pd.DataFrame:
         t = (batch.set_index("doc_id")["text"]
              .str.findall(TOKEN_SPLIT_RE).explode()
              .dropna().reset_index())
         t.columns = ["doc_id", "token"]
-        u = t.drop_duplicates()
+        return t
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = tokens(batch).drop_duplicates()
         vc = u["token"].value_counts()
         return pd.DataFrame({"token": vc.index.astype(str),
                              "df": vc.to_numpy(dtype=np.int64)})
 
-    df_tbl = (ds.map_batches(df_partial, batch_format="pandas")
-              .groupby("token").aggregate(Sum("df", alias_name="df"))
-              .to_pandas())          # vocabulary-sized, not corpus-sized
-    import ray as _ray
-    df_ref = _ray.put(df_tbl)
+    df_ds = (ds.map_batches(df_partial, batch_format="pandas")
+             .groupby("token").aggregate(Sum("df", alias_name="df")))
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        dfm = _ray.get(df_ref)
-        t = (batch.set_index("doc_id")["text"]
-             .str.findall(TOKEN_SPLIT_RE).explode()
-             .dropna().reset_index())
-        t.columns = ["doc_id", "token"]
-        tf = (t.groupby(["doc_id", "token"], as_index=False)
-              .size().rename(columns={"size": "tf"}))
-        m = tf.merge(dfm, on="token", how="left")
+    def rank_top(m: pd.DataFrame) -> pd.DataFrame:
+        # shared by both plans: identical scoring + tie-break ranking
         m["tfidf"] = round_half_away(
             m["tf"].to_numpy(dtype=np.float64)
             * np.log(float(n_docs) / m["df"].to_numpy(dtype=np.float64)),
@@ -732,8 +732,37 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3):
         top = top.astype({"doc_id": "int64", "tf": "int64", "df": "int64"})
         return top[["doc_id", "token", "tf", "df", "tfidf"]]
 
-    return (ds.map_batches(score, batch_format="pandas")
-            .sort(["doc_id", "token"]))
+    import ray as _ray
+    # ONE executor pass decides the switch AND fetches the broadcast
+    # payload (limit(N+1) stops early on a web-scale vocabulary)
+    df_tbl = df_ds.limit(broadcast_limit + 1).to_pandas()
+    if len(df_tbl) <= broadcast_limit:
+        df_ref = _ray.put(df_tbl)
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            dfm = _ray.get(df_ref)
+            tf = (tokens(batch).groupby(["doc_id", "token"], as_index=False)
+                  .size().rename(columns={"size": "tf"}))
+            return rank_top(tf.merge(dfm, on="token", how="left"))
+
+        return (ds.map_batches(score, batch_format="pandas")
+                .sort(["doc_id", "token"]))
+
+    # ---- distributed plan: df table exceeds the driver budget ----
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # exact per doc: each doc is one input row, so its term counts
+        # complete within the batch; only (doc_id, token, tf) — never
+        # text — enters the exchanges below
+        return (tokens(batch).groupby(["doc_id", "token"], as_index=False)
+                .size().rename(columns={"size": "tf"}))
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pandas")
+    # inner join is complete: every tf token has a df row by construction
+    j = tf_ds.join(df_ds, join_type="inner", num_partitions=8,
+                   on=("token",))
+    out = (j.groupby("doc_id")
+           .map_groups(rank_top, batch_format="pandas"))
+    return out.sort(["doc_id", "token"])
 
 
 def events_user_order_full_outer(sf_dir: str):

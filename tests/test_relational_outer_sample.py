@@ -103,6 +103,19 @@ def test_orders_join_customer_paths_identical():
                                   b.reset_index(drop=True))
 
 
+def test_tfidf_broadcast_and_distributed_paths_identical():
+    # VERDICT r3 Next #3: the df-table broadcast plan (default) and the
+    # co-partitioned token-join plan (forced with broadcast_limit=0, as
+    # if the vocabulary exceeded the driver budget) must rank the same
+    # top-k terms with identical tfidf values
+    from miekki_ray.relational import documents_tfidf_top_terms
+
+    a = documents_tfidf_top_terms(SF).to_pandas()
+    b = documents_tfidf_top_terms(SF, broadcast_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
 def test_orders_join_customer_null_name_survives(tmp_path):
     """ADVICE r3: a matched key whose c_name is NULL must survive the
     broadcast path's inner-join drop (key membership, not notna on the
