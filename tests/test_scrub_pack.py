@@ -112,6 +112,41 @@ def test_pack_bins_matches_serial_scan():
     assert out["bin"].tolist() == (excl // 100).tolist()
 
 
+def test_pack_bins_clustered_ids_balanced_partitions():
+    """VERDICT r3 Next #5: a 99%-clustered doc_id space (most ids packed
+    into a narrow band, a few far outliers) must still (a) produce the
+    exact serial-scan bins and (b) spread rows ~evenly across the range
+    partitions — quantile boundaries, not value-proportional tags."""
+    from miekki_ray.functions.tdigest import approx_quantiles
+    from miekki_ray.stages.packing import pack_bins
+
+    rng = np.random.default_rng(11)
+    n, P = 1000, 8
+    # 99% of ids in [0, 1000); 1% out at ~1e15
+    ids = np.sort(np.concatenate([
+        rng.choice(np.arange(990, dtype=np.int64), size=990, replace=False),
+        np.int64(10 ** 15) + np.arange(10, dtype=np.int64),
+    ]))
+    toks = rng.integers(1, 40, n)
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "text": [" ".join(["w"] * int(t)) for t in toks],
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (pack_bins(ds, budget=64, num_partitions=P)
+           .to_pandas().sort_values("doc_id"))
+    excl = np.cumsum(toks) - toks
+    assert out["bin"].tolist() == (excl // 64).tolist()
+    # re-derive the tags the stage used; under the old linear map ALL
+    # 990 clustered rows landed in partition 0 (max share 99%)
+    slim = ray.data.from_pandas(df[["doc_id"]])
+    bounds = approx_quantiles(slim, "doc_id",
+                              qs=tuple(i / P for i in range(1, P)))
+    parts = np.searchsorted(bounds, ids.astype(np.float64), side="left")
+    share = np.bincount(parts, minlength=P) / n
+    assert share.max() <= 2.5 / P, share
+
+
 def test_pack_bins_empty():
     from miekki_ray.stages.packing import pack_bins
 
