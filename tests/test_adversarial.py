@@ -152,6 +152,50 @@ def test_salt_draw_varies_per_band(tiny_cfg):
     assert n_meet < b
 
 
+def test_spread_thin_hot_bucket_second_chance(tiny_cfg):
+    """VERDICT r3 Next #6: a hot bucket (size > bucket_cap) whose rows
+    land at most ONE per map batch never repeats locally, so the old
+    local-repeat heuristic could not see it. The exact keys-only count
+    must detect it, attribute it to the second-chance counter (not the
+    local one), and the salting stage must then actually re-key it."""
+    from miekki_ray.stages.candidates import (hot_bucket_keys,
+                                              salt_hot_buckets)
+    from miekki_ray.state.metrics import MetricsSink
+
+    cap = tiny_cfg.bucket_cap
+    m = cap + 6
+    stride = 1024          # one hot row per 1024-row BLOCK: one batch
+    n = m * stride         # whether batches are whole blocks or sliced
+    keys = np.arange(n, dtype=np.int64) + 10_000_000   # distinct fillers
+    hot_key = np.int64(777)
+    keys[::stride] = hot_key
+    band_rows = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(n)], type=pa.string()),
+        "doc_hash": pa.array(
+            np.arange(n, dtype=np.uint64) * np.uint64(2654435761),
+            type=pa.uint64()),
+        "bucket_key": pa.array(keys, type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(
+        [band_rows.slice(i * stride, stride) for i in range(m)])
+    sink = MetricsSink()
+    hot = hot_bucket_keys(ds, tiny_cfg, sink.name)
+    counters = sink.collect()
+    sink.close()
+    assert hot_key in hot
+    assert counters["hot_buckets_second_chance"] >= 1
+    assert counters.get("hot_buckets_local", 0) == 0
+    salted = salt_hot_buckets(ds, hot, tiny_cfg).to_pandas()
+    hot_rows = salted[salted["conv_id"].isin(
+        {f"c{i}" for i in range(0, n, stride)})]
+    assert len(hot_rows) == m
+    # every hot row re-keyed, into at most salt_factor sub-buckets
+    assert (hot_rows["bucket_key"] != int(hot_key)).all()
+    assert hot_rows["bucket_key"].nunique() <= tiny_cfg.salt_factor
+    # fillers untouched
+    assert (salted["bucket_key"] == 10_000_001).sum() == 1
+
+
 def test_oracle_256_shingle_mega_duplicate_not_dropped():
     """Regression (ADVICE r2, oracle.py uint8 matmul): 200 identical docs
     whose doc has EXACTLY 256 distinct k=12 shingles. Every shingle group
