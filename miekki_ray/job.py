@@ -27,17 +27,31 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="miekki_ray.job",
-                                description="transcript near-dedup job")
+                                description="transcript curation/dedup job")
     p.add_argument("--turns", required=True,
                    help="parquet path(s) of the turns table (dir or file)")
     p.add_argument("--out", required=True,
                    help="output/checkpoint dir (stage parquet + manifests)")
+    p.add_argument("--pipeline", choices=["dedup", "curate"],
+                   default="dedup",
+                   help="dedup: MinHash/LSH near-dedup flagship; curate: "
+                        "docs -> [decontaminate] -> quality filter -> "
+                        "exact keep-first -> pack_bins")
     p.add_argument("--num-partitions", type=int, default=None,
                    help="shuffle width (default: cluster CPU count)")
     p.add_argument("--normalize", action="store_true",
                    help="normalize doc representation (M1) before sketching")
     p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--k", type=int, default=None)
+    # curate-pipeline knobs (ignored under --pipeline dedup)
+    p.add_argument("--min-words", type=int, default=40)
+    p.add_argument("--min-alpha-ratio", type=float, default=0.8)
+    p.add_argument("--pack-budget", type=int, default=512)
+    p.add_argument("--tokenizer", choices=["whitespace", "bpe"],
+                   default="whitespace")
+    p.add_argument("--bench-docs", default=None,
+                   help="parquet of (doc_id, text) benchmark docs to "
+                        "decontaminate against before scoring")
     args = p.parse_args(argv)
 
     import ray
@@ -61,6 +75,26 @@ def main(argv: list[str] | None = None) -> int:
     if args.k is not None:
         overrides["k"] = args.k
     cfg = DedupConfig(**overrides)
+
+    if args.pipeline == "curate":
+        from miekki_ray.pipelines.curate import run_curate
+
+        packed, metrics = run_curate(
+            args.turns, cfg, out_dir=args.out,
+            min_words=args.min_words,
+            min_alpha_ratio=args.min_alpha_ratio,
+            budget=args.pack_budget, tokenizer=args.tokenizer,
+            bench_docs=args.bench_docs)
+        bins = packed.groupby("bin").count()
+        summary = {
+            "packed_rows": packed.count(),
+            "bins": bins.count(),
+            "stages_ran": metrics.get("ran"),
+            "stages_skipped": metrics.get("skipped"),
+            "out": args.out,
+        }
+        print(json.dumps(summary))
+        return 0
 
     res = run_dedup(args.turns, cfg, out_dir=args.out)
     n_clusters = res.clusters.count()

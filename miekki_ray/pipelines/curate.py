@@ -96,3 +96,121 @@ def curate_documents(docs: ray.data.Dataset, *, min_words: int = 40,
         quality_filter(docs, min_words=min_words,
                        min_alpha_ratio=min_alpha_ratio),
         num_partitions=num_partitions)
+
+
+def _turns_to_docs(turns: ray.data.Dataset, cfg) -> ray.data.Dataset:
+    """Transcript turns → the (doc_id:int64, text) shape the curation
+    kernels contract on: reconstruct docs (the flagship's shuffle #1,
+    stable (conv_id, turn_idx) order), then doc_id = the conv_id's
+    decimal suffix. Both transcript corpora shapes are <constant
+    prefix><zero-padded decimal> (synth 'c%06d', adapter '%012d'), so
+    the suffix is unique and ORDER-PRESERVING — keep-first's
+    smallest-doc_id winner is the smallest conv_id, matching the dedup
+    flagship's min-conv_id representative, and pack_bins' range
+    partitioning stays monotone in conv_id. A conv_id without a decimal
+    suffix raises at the Arrow cast rather than silently mis-keying
+    either tiebreak."""
+    import pyarrow.compute as pc
+
+    from miekki_ray.stages.docs import reconstruct_docs
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        digits = pc.replace_substring_regex(
+            batch["conv_id"], pattern=r"^\D*", replacement="")
+        return pa.table({
+            "doc_id": pc.cast(digits, pa.int64()),
+            "text": pc.cast(batch["doc"], pa.string()),
+        })
+
+    return reconstruct_docs(turns, cfg).map_batches(
+        as_docs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
+               min_words: int = 40, min_alpha_ratio: float = 0.8,
+               budget: int = 512, tokenizer: str = "whitespace",
+               bench_docs: str | None = None):
+    """Curation as a JOB (the run_dedup twin for the pre-training data
+    path): turns → docs → [decontaminate vs a benchmark corpus] →
+    quality filter → exact keep-first → pack_bins. With ``out_dir`` set,
+    every stage checkpoints under out_dir/<stage>/ with a lineage
+    manifest (state/manifest.py) and a re-submitted job resumes past
+    valid checkpoints — the 100-TB contract, where any multi-hour run
+    WILL see worker loss. Returns (packed, metrics) where packed is the
+    (doc_id, n_tokens, bin) dataset and metrics records ran/skipped
+    stages.
+
+    ``bench_docs``: optional parquet path of (doc_id, text) benchmark
+    documents; when given, candidates sharing an 8-word-gram with any
+    benchmark doc are dropped before scoring (stages/scrub.decontaminate,
+    emit='clean' — the bench gram set is the bounded broadcast side)."""
+    import hashlib
+    import json as _json
+
+    import ray.data as _rd
+
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.sources.transcripts import read_transcripts
+    from miekki_ray.stages.packing import pack_bins
+    from miekki_ray.stages.scrub import decontaminate
+
+    cfg = cfg or DedupConfig()
+    turns = (turns_path if isinstance(turns_path, _rd.Dataset)
+             else read_transcripts(turns_path))
+    P = cfg.num_partitions
+
+    def curated_of(docs):
+        return curate_documents(docs, min_words=min_words,
+                                min_alpha_ratio=min_alpha_ratio,
+                                num_partitions=P)
+
+    def packed_of(cur):
+        return pack_bins(cur.select_columns(["doc_id", "text"]),
+                         budget=budget, tokenizer=tokenizer,
+                         num_partitions=P)
+
+    if out_dir is None:
+        docs = _turns_to_docs(turns, cfg)
+        if bench_docs is not None:
+            docs = decontaminate(docs, _rd.read_parquet(bench_docs),
+                                 emit="clean")
+        return packed_of(curated_of(docs)), {"ran": [
+            "docs", *(["clean"] if bench_docs else []),
+            "curated", "packed"], "skipped": []}
+
+    from miekki_ray.pipelines.dedup import _DS_NONCE
+    from miekki_ray.state.manifest import StageRunner, input_fingerprint
+
+    # semantic params beyond DedupConfig join the stage config hash, so a
+    # changed threshold/budget invalidates checkpoints exactly like a
+    # changed dedup config does
+    blob = _json.dumps({
+        "dedup_cfg": cfg.config_hash(), "min_words": min_words,
+        "min_alpha_ratio": min_alpha_ratio, "budget": budget,
+        "tokenizer": tokenizer, "decon": bench_docs is not None,
+    }, sort_keys=True).encode()
+    r = StageRunner(out_dir, hashlib.blake2b(blob, digest_size=16)
+                    .hexdigest())
+    if isinstance(turns_path, _rd.Dataset):
+        in_fp = _DS_NONCE.get(turns_path)
+        if in_fp is None:
+            import os as _os
+            in_fp = "dataset-nonce:" + _os.urandom(8).hex()
+            _DS_NONCE[turns_path] = in_fp
+    else:
+        in_fp = input_fingerprint(turns_path)
+    docs, d_up = r.run("docs", lambda: _turns_to_docs(turns, cfg),
+                       input_fp=in_fp)
+    if bench_docs is not None:
+        # the bench corpus is a second ROOT input: fingerprint it so a
+        # swapped benchmark set invalidates the clean stage (and
+        # transitively everything downstream)
+        docs, d_up = r.run(
+            "clean", lambda: decontaminate(
+                docs, _rd.read_parquet(bench_docs), emit="clean"),
+            upstream_dir=d_up, input_fp=input_fingerprint(bench_docs))
+    cur, d_cur = r.run("curated", lambda: curated_of(docs),
+                       upstream_dir=d_up)
+    packed, _ = r.run("packed", lambda: packed_of(cur),
+                      upstream_dir=d_cur)
+    return packed, {"ran": r.ran, "skipped": r.skipped}
