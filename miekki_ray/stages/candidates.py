@@ -7,7 +7,8 @@ the verify stage". SURVEY.md §4.2 is the design note.
 
 Flow:
   band_rows (conv_id, doc_hash, bucket_key)
-    │ 1. exact keys-only bucket counts (per-batch unique → groupby-sum)
+    │ 1. exact keys-only hot-bucket counts (per-batch unique → coarse
+    │    _part groupby → reduceat sum, hot keys only leave the reducer)
     │ 2. hot keys (count > bucket_cap) broadcast via ray.put
     │ 3. salt stage: hot rows re-keyed bucket_key' = mix(key, doc_hash % s)
     │ 4. groupby coarse part of bucket_key → vectorized pair emission per
@@ -37,45 +38,80 @@ U64 = np.uint64
 
 def bucket_sizes(band_rows: ray.data.Dataset, cfg: DedupConfig
                  ) -> ray.data.Dataset:
-    """EXACT per-bucket counts for HOT-bucket detection: per-batch unique
-    keys + local counts, then one grouped sum — a keys-only shuffle (two
-    int64s/row, strictly narrower than the bucket shuffle that follows
-    it). An earlier revision shipped only keys that repeat WITHIN a batch
-    (~50x less detection traffic) but missed a hot bucket spread exactly
-    one-row-per-block (VERDICT r3 "What's wrong" #4) — those buckets were
-    still pair-capped at emit, but never salted, so one shuffle partition
-    absorbed the whole mega-bucket. The `n_rep` column carries the
-    locally-repeating share of each count so hot_bucket_keys can report
-    how many hot buckets the cheap local-repeat heuristic alone would
-    have caught vs how many only the exact pass sees."""
+    """EXACT per-bucket counts for HOT-bucket detection, emitting only
+    buckets whose total size exceeds ``cfg.bucket_cap``. Per-batch unique
+    keys + local counts (keys-only, two int64s/row — strictly narrower
+    than the bucket shuffle that follows), then the engine's standard
+    COARSE-partition reduce: ``_part = key % P`` → ``groupby("_part")
+    .map_groups`` with a vectorized sorted-reduceat sum per partition.
+
+    Two earlier revisions bracket this design: (1) shipping only keys
+    that repeat WITHIN a batch (~50x less traffic) missed a hot bucket
+    spread exactly one-row-per-block (VERDICT r3 "What's wrong" #4) —
+    still pair-capped at emit but never salted, so one shuffle partition
+    absorbed the whole mega-bucket; (2) exact counts via a fine-grained
+    ``groupby("bucket_key").aggregate(Sum)`` were correct but created
+    ~n_docs*n_bands GROUPS, and Ray's sort-based aggregate pays per-group
+    overhead — measured 390 s vs 2.2 s for this coarse-partition exact
+    form on 8.5M band rows at 4 cpus (the r4 scaling-trial regression).
+    The `n_rep` column carries the locally-repeating share of each count
+    so hot_bucket_keys can report how many hot buckets the cheap
+    local-repeat heuristic alone would have caught vs how many only the
+    exact pass sees."""
+    P = cfg.num_partitions
+    cap = cfg.bucket_cap
+
     def partial(batch: pa.Table) -> pa.Table:
         keys, counts = np.unique(batch["bucket_key"].to_numpy(),
                                  return_counts=True)
         n = counts.astype(np.int64)
+        part = (keys.view(np.uint64) % np.uint64(P)).astype(np.int32)
         return pa.table({
             "bucket_key": pa.array(keys, type=pa.int64()),
             "n": pa.array(n, type=pa.int64()),
             "n_rep": pa.array(np.where(n >= 2, n, 0), type=pa.int64()),
+            "_part": pa.array(part, type=pa.int32()),
         })
 
-    from ray.data.aggregate import Sum
+    def hot_in_partition(group: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"bucket_key": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "n_rep": pa.array([], type=pa.int64())})
+        if len(group) == 0 or "bucket_key" not in group.columns:
+            return empty
+        keys = group["bucket_key"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        ns = group["n"].to_numpy(dtype=np.int64)[order]
+        reps = group["n_rep"].to_numpy(dtype=np.int64)[order]
+        change = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1])))
+        tot = np.add.reduceat(ns, change)
+        rep = np.add.reduceat(reps, change)
+        hot = tot > cap
+        if not hot.any():
+            return empty
+        return pa.table({
+            "bucket_key": pa.array(ks[change][hot], type=pa.int64()),
+            "n": pa.array(tot[hot], type=pa.int64()),
+            "n_rep": pa.array(rep[hot], type=pa.int64()),
+        })
+
     return (band_rows.map_batches(partial, batch_format="pyarrow",
                                   zero_copy_batch=True)
-            .groupby("bucket_key")
-            .aggregate(Sum("n", alias_name="n"),
-                       Sum("n_rep", alias_name="n_rep")))
+            .groupby("_part")
+            .map_groups(hot_in_partition, batch_format="pandas"))
 
 
 def hot_bucket_keys(band_rows: ray.data.Dataset, cfg: DedupConfig,
                     metrics_name: str | None = None) -> np.ndarray:
     """Sorted int64 array of bucket keys whose size exceeds bucket_cap.
-    Small by construction (only mega-buckets qualify) → safe to collect.
-    Emits both detection counters: buckets whose locally-repeating rows
-    alone exceed the cap (the old heuristic's reach) and buckets only the
-    exact count catches (spread thinner than one-repeat-per-block)."""
-    sizes = bucket_sizes(band_rows, cfg)
-    hot = sizes.filter(expr=f"n > {cfg.bucket_cap}")
-    tbl = hot.to_pandas()
+    Small by construction (bucket_sizes already filters to mega-buckets
+    inside each partition) → safe to collect. Emits both detection
+    counters: buckets whose locally-repeating rows alone exceed the cap
+    (the old heuristic's reach) and buckets only the exact count catches
+    (spread thinner than one-repeat-per-block)."""
+    tbl = bucket_sizes(band_rows, cfg).to_pandas()
     if len(tbl) == 0 or "bucket_key" not in tbl.columns:
         return np.empty(0, dtype=np.int64)
     if metrics_name:
