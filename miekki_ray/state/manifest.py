@@ -126,7 +126,12 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
     for f in os.listdir(stage_dir):
         if f.endswith((".parquet", ".tmp")) or f == MANIFEST_NAME:
             os.unlink(os.path.join(stage_dir, f))
-    ds.write_parquet(stage_dir)
+    # strip schema-level metadata before writing: pandas-backed blocks
+    # carry a 'pandas' schema-metadata dict, which makes the re-read
+    # schema UNHASHABLE and defeats Ray's schema-dedup fast path in every
+    # post-resume shuffle (same policy as sources.transcripts readers)
+    from miekki_ray.sources.transcripts import strip_schema_metadata
+    strip_schema_metadata(ds).write_parquet(stage_dir)
     # per-partition lineage: row count per written file
     import pyarrow.parquet as pq
     parts = []
