@@ -167,7 +167,12 @@ def _est_pair_doc_bytes(docs: ray.data.Dataset, n_pairs: int) -> int:
     n_docs = docs.count()
     if n_docs == 0:
         return 0
-    return int(docs.size_bytes() / n_docs * min(2 * n_pairs, n_docs))
+    size = docs.size_bytes()
+    if size is None:
+        # unknown size (no metadata) — conservative: report over any limit
+        # so the caller takes the distributed path
+        return 2**63
+    return int(size / n_docs * min(2 * n_pairs, n_docs))
 
 
 def _cluster_and_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
@@ -226,14 +231,26 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         in_fp = input_fingerprint(turns_path)
     docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
                          input_fp=in_fp)
-    # exact_dedup's doc_hash shuffle runs ONCE even though its two outputs
-    # checkpoint as separate stages — both lambdas share the memoized tuple
-    # (each output is a cheap filter of one internally-materialized table)
+    # exact dedup runs ONCE even though its two outputs checkpoint as
+    # separate stages — both lambdas share the memoized tuple. Same
+    # broadcast↔shuffle auto-switch as dedup_datasets (r4: the ckpt path
+    # used to take the full text-shuffling exact_dedup unconditionally —
+    # 5.1 s of its 31.9 s profile at the bench corpus was this stage;
+    # the slim metadata shuffle + loser-broadcast filter is the measured
+    # winner whenever the loser set fits the broadcast limit):
     _exact: list = []
 
     def _exact_once(i: int):
         if not _exact:
-            _exact.append(exact_dedup(docs, cfg))
+            from miekki_ray.stages.exact import drop_losers, exact_dedup_slim
+            ex_edges_ds, losers_ds = exact_dedup_slim(docs, cfg)
+            losers = losers_ds.limit(cfg.broadcast_loser_limit + 1) \
+                              .to_pandas()
+            if len(losers) <= cfg.broadcast_loser_limit:
+                uniq_ds = drop_losers(docs, losers) if len(losers) else docs
+                _exact.append((uniq_ds, ex_edges_ds))
+            else:
+                _exact.append(exact_dedup(docs, cfg))
         return _exact[0][i]
 
     uniq, d_uniq = r.run(
@@ -255,13 +272,27 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
                                          metrics_name=sink.name),
         upstream_dir=d_bands, metrics_fn=sink.collect)
     pair_metrics = stage_metrics(d_pairs)
+    pair_metrics.pop("wall_sec", None)   # already under stage_sec below
     sink.close()
     from miekki_ray.stages.verify import empty_verified
 
     def _verify():
-        n_pairs = pairs.count()
+        n_pairs = pairs.count()   # metadata-only on the pairs parquet
         if n_pairs == 0:
             return empty_verified()
+        # same driver-narrow auto-switch as dedup_datasets (r4: the ckpt
+        # path used to run the two distributed hash joins unconditionally
+        # — 11.3 s of its 31.9 s profile at the bench corpus was pure
+        # aggregator startup for a 0.4 MB pair table). uniq is the
+        # parquet-backed stage read, so both count() and size_bytes()
+        # in the estimator are metadata-only; pairs reference winners,
+        # all present in uniq. Output identical either way
+        # (tests/test_scale_paths.py pins the kernel equivalence).
+        if (n_pairs <= cfg.driver_verify_pairs
+                and _est_pair_doc_bytes(uniq, n_pairs)
+                <= cfg.driver_verify_bytes):
+            from miekki_ray.stages.verify import verify_local
+            return verify_local(pairs, uniq, cfg)
         # n_pairs drives attach_docs' adaptive join width — without it the
         # join runs at cfg.num_partitions and small candidate sets leave
         # most join partitions with zero left blocks (verify.py env note:
@@ -279,7 +310,8 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         upstream_dir=d_edges)
     res = DedupResult(clusters=clusters, edges=edges, verified=verified,
                       docs=docs)
-    res.metrics = {"ran": r.ran, "skipped": r.skipped, **pair_metrics}
+    res.metrics = {"ran": r.ran, "skipped": r.skipped,
+                   "stage_sec": dict(r.stage_sec), **pair_metrics}
     return res
 
 

@@ -182,19 +182,38 @@ class StageRunner:
         self.config_hash = config_hash
         self.ran: list[str] = []
         self.skipped: list[str] = []
+        # per-stage wall seconds (compute + parquet write, i.e. the
+        # durability-inclusive stage cost) — also persisted in each stage
+        # manifest's metrics block so a RESUMED run can still attribute
+        # where the original run's time went
+        self.stage_sec: dict[str, float] = {}
 
     def run(self, stage: str, fn, upstream_dir: str | None = None,
             input_fp: str | None = None,
             metrics_fn=None) -> tuple[ray.data.Dataset, str]:
+        import time
+
         stage_dir = os.path.join(self.out_dir, stage)
         up_hash = manifest_hash(upstream_dir) if upstream_dir else None
         if manifest_valid(stage_dir, self.config_hash, up_hash,
                           upstream_required=upstream_dir is not None,
                           input_fp=input_fp):
             self.skipped.append(stage)
+            self.stage_sec[stage] = stage_metrics(stage_dir).get(
+                "wall_sec", 0.0)
             return read_stage(stage_dir), stage_dir
+        t0 = time.perf_counter()
         ds = fn()
+
+        def _metrics():
+            # runs inside write_stage AFTER the data write, so wall_sec
+            # covers fn() + write_parquet — the full stage barrier
+            base = dict((metrics_fn() if metrics_fn else None) or {})
+            base["wall_sec"] = round(time.perf_counter() - t0, 3)
+            self.stage_sec[stage] = base["wall_sec"]
+            return base
+
         write_stage(ds, self.out_dir, stage, self.config_hash, up_hash,
-                    input_fp=input_fp, metrics=metrics_fn)
+                    input_fp=input_fp, metrics=_metrics)
         self.ran.append(stage)
         return read_stage(stage_dir), stage_dir

@@ -191,10 +191,21 @@ def test_pairs_manifest_carries_metrics(small_corpus, cfg, tmp_path):
     with open(os.path.join(out, "pairs", "_MANIFEST.json")) as f:
         m = json.load(f)["metrics"]
     # counters exist iff salting/caps fired on this corpus; either way
-    # the manifest block and the result metrics must AGREE
-    assert {k: v for k, v in r1.metrics.items()
-            if k not in ("ran", "skipped")} == m
+    # the manifest block and the result metrics must AGREE (timing keys —
+    # wall_sec in the manifest, stage_sec in the result — are
+    # nondeterministic instrumentation, excluded from the equality)
+    def counters(d):
+        return {k: v for k, v in d.items()
+                if k not in ("ran", "skipped", "stage_sec", "wall_sec")}
+
+    assert counters(r1.metrics) == counters(m)
+    assert m["wall_sec"] > 0                      # timing recorded
+    assert set(r1.metrics["stage_sec"]) == {
+        "docs", "unique_docs", "exact_edges", "band_rows", "pairs",
+        "verified", "edges", "clusters"}
     r2 = run_dedup(ds, cfg, out_dir=out)          # full resume
     assert "pairs" in r2.metrics["skipped"]
-    assert {k: v for k, v in r2.metrics.items()
-            if k not in ("ran", "skipped")} == m
+    assert counters(r2.metrics) == counters(m)
+    # a RESUMED run recovers each skipped stage's original wall_sec from
+    # its manifest — attribution survives the skip
+    assert r2.metrics["stage_sec"]["pairs"] == m["wall_sec"]
