@@ -209,3 +209,34 @@ def test_pairs_manifest_carries_metrics(small_corpus, cfg, tmp_path):
     # a RESUMED run recovers each skipped stage's original wall_sec from
     # its manifest — attribution survives the skip
     assert r2.metrics["stage_sec"]["pairs"] == m["wall_sec"]
+
+
+def test_ckpt_path_scale_switches_identical(small_corpus, tmp_path):
+    """r4: the checkpointed path carries the SAME broadcast-exact and
+    driver-narrow verify auto-switches as the in-memory flagship. Pin the
+    two plans against each other THROUGH the checkpoint runner: default
+    limits take the broadcast exact-dedup + verify_local branches; limits
+    pinned to 0 force the fallback branches (full exact_dedup shuffle,
+    attach_docs hash joins + distributed verify, label propagation).
+    Clusters and verified tables must be identical either way."""
+    import pandas as pd
+
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.pipelines.dedup import run_dedup
+
+    turns, _ = small_corpus
+    cfg_fast = DedupConfig(num_partitions=4, sketch_concurrency=2)
+    cfg_dist = DedupConfig(num_partitions=4, sketch_concurrency=2,
+                           broadcast_loser_limit=0, driver_edge_limit=0,
+                           driver_verify_pairs=0)
+    a = run_dedup(ray.data.from_arrow(turns), cfg_fast,
+                  out_dir=str(tmp_path / "fast"))
+    b = run_dedup(ray.data.from_arrow(turns), cfg_dist,
+                  out_dir=str(tmp_path / "dist"))
+    ca = a.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    cb = b.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ca, cb)
+    key = ["a", "b"]
+    va = a.verified.to_pandas().sort_values(key).reset_index(drop=True)
+    vb = b.verified.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(va, vb)
