@@ -1089,8 +1089,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_by_type": R.events_corr_by_type,
         "orders_priority_argmax": R.orders_priority_argmax,
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
-        "orders_dow_counts": R.orders_dow_counts,
-        "part_name_prefix_counts": R.part_name_prefix_counts,
         "events_mode_type_per_user": R.events_mode_type_per_user,
         "orders_cube_agg": R.orders_cube_agg,
         "events_json_extract_stats": R.events_json_extract_stats,
@@ -1098,6 +1096,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_top_tokens": R.documents_top_tokens,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "documents_hash_sample": R.documents_hash_sample,
+        # tfidf is r4-CHANGED code (the size-gated df switch, VERDICT r3
+        # "What's wrong" #2) — promoted into the window so the fix gets a
+        # driver hash row; two long-green unchanged scalar kernels
+        # (orders_dow_counts, part_name_prefix_counts — r03 hash-green,
+        # code untouched in r4) moved behind the window to make room
+        "documents_tfidf_top_terms": R.documents_tfidf_top_terms,
         # --- embeddings / clustering ---
         "embedding_norms_topk": R.embedding_norms_topk,
         "embedding_label_centroids": R.embedding_label_centroids,
@@ -1158,7 +1162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats_by_type": R.events_stats_by_type,
         "events_pivot_by_type": R.events_pivot_by_type,
         "lineitem_semi_hot_orders": R.lineitem_semi_hot_orders,
-        "documents_tfidf_top_terms": R.documents_tfidf_top_terms,
+        "orders_dow_counts": R.orders_dow_counts,
+        "part_name_prefix_counts": R.part_name_prefix_counts,
         "events_user_order_full_outer": R.events_user_order_full_outer,
         "documents_stratified_sample": R.documents_stratified_sample,
         "events_value_histogram": R.events_value_histogram,

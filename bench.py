@@ -390,8 +390,11 @@ def run_scaling() -> dict:
     if pairs is not None:
         out["protocol"] = "paired_median"
         out["pairs"] = pairs
+        # .get: a checkpoint record from an older protocol version may
+        # lack the flag — _paired_median treats those as fresh (pinned by
+        # test_missing_resumed_key_treated_as_fresh); match that here
         out["pairs_in_median"] = sum(
-            1 for p in pairs if not p["resumed"]) or len(pairs)
+            1 for p in pairs if not p.get("resumed")) or len(pairs)
     return out
 
 

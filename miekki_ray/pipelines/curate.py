@@ -178,27 +178,27 @@ def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
             "docs", *(["clean"] if bench_docs else []),
             "curated", "packed"], "skipped": []}
 
-    from miekki_ray.pipelines.dedup import _DS_NONCE
-    from miekki_ray.state.manifest import StageRunner, input_fingerprint
+    from miekki_ray.state.manifest import (StageRunner, input_fingerprint,
+                                           root_input_fp)
 
-    # semantic params beyond DedupConfig join the stage config hash, so a
-    # changed threshold/budget invalidates checkpoints exactly like a
-    # changed dedup config does
-    blob = _json.dumps({
-        "dedup_cfg": cfg.config_hash(), "min_words": min_words,
-        "min_alpha_ratio": min_alpha_ratio, "budget": budget,
-        "tokenizer": tokenizer, "decon": bench_docs is not None,
-    }, sort_keys=True).encode()
-    r = StageRunner(out_dir, hashlib.blake2b(blob, digest_size=16)
-                    .hexdigest())
-    if isinstance(turns_path, _rd.Dataset):
-        in_fp = _DS_NONCE.get(turns_path)
-        if in_fp is None:
-            import os as _os
-            in_fp = "dataset-nonce:" + _os.urandom(8).hex()
-            _DS_NONCE[turns_path] = in_fp
-    else:
-        in_fp = input_fingerprint(turns_path)
+    # PER-STAGE config hashes: each stage's hash covers only the knobs
+    # its OWN output depends on, so a knob sweep re-runs only the stages
+    # it actually changes — at the 100-TB design point a pack-budget
+    # change must not recompute the docs shuffle / decontamination /
+    # quality filter whose outputs are byte-identical. Upstream knob
+    # changes still invalidate downstream transitively (the upstream
+    # manifest embeds its config_hash and downstream validates against
+    # the upstream MANIFEST hash). Flipping decontamination on/off needs
+    # no knob anywhere: it changes which DIR is "curated"'s upstream, so
+    # curated's stored up_hash mismatches and it re-runs — while the
+    # docs root (output identical either way) keeps its checkpoint.
+    def _h(**knobs) -> str:
+        blob = _json.dumps(knobs, sort_keys=True).encode()
+        return hashlib.blake2b(blob, digest_size=16).hexdigest()
+
+    dedup_h = cfg.config_hash()
+    r = StageRunner(out_dir, _h(dedup_cfg=dedup_h))
+    in_fp = root_input_fp(turns_path)
     docs, d_up = r.run("docs", lambda: _turns_to_docs(turns, cfg),
                        input_fp=in_fp)
     if bench_docs is not None:
@@ -210,7 +210,12 @@ def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
                 docs, _rd.read_parquet(bench_docs), emit="clean"),
             upstream_dir=d_up, input_fp=input_fingerprint(bench_docs))
     cur, d_cur = r.run("curated", lambda: curated_of(docs),
-                       upstream_dir=d_up)
+                       upstream_dir=d_up,
+                       config_hash=_h(dedup_cfg=dedup_h,
+                                      min_words=min_words,
+                                      min_alpha_ratio=min_alpha_ratio))
     packed, _ = r.run("packed", lambda: packed_of(cur),
-                      upstream_dir=d_cur)
+                      upstream_dir=d_cur,
+                      config_hash=_h(dedup_cfg=dedup_h, budget=budget,
+                                     tokenizer=tokenizer))
     return packed, {"ran": r.ran, "skipped": r.skipped}

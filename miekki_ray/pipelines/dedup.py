@@ -14,7 +14,6 @@ lineage manifest and resumes past valid stages (SURVEY.md §3.3).
 
 from __future__ import annotations
 
-import weakref
 from dataclasses import dataclass, field
 
 import ray.data
@@ -49,13 +48,6 @@ class DedupResult:
     # exact-dedup / sketch on the same corpus
     unique_docs: ray.data.Dataset | None = None
     sketched: ray.data.Dataset | None = None
-
-
-# per-object checkpoint nonces for in-memory Dataset inputs (see run_dedup);
-# weak keys so a collected Dataset can never bequeath its nonce to a new
-# object reusing its address
-_DS_NONCE: "weakref.WeakKeyDictionary[ray.data.Dataset, str]" = \
-    weakref.WeakKeyDictionary()
 
 
 def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
@@ -212,23 +204,9 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     if out_dir is None:
         return dedup_datasets(turns, cfg)
 
-    from miekki_ray.state.manifest import StageRunner, input_fingerprint
+    from miekki_ray.state.manifest import StageRunner, root_input_fp
     r = StageRunner(out_dir, cfg.config_hash())
-    # root-stage input identity: a different corpus at the same out_dir+cfg
-    # must invalidate the docs checkpoint (and transitively everything).
-    # An in-memory Dataset has no content identity to fingerprint, so it
-    # gets a nonce keyed on OBJECT identity (weak registry): re-running the
-    # SAME immutable Dataset resumes, any other Dataset — including the
-    # same corpus rebuilt in a new process — recomputes. A None fingerprint
-    # would silently resurrect a previous corpus's results.
-    if isinstance(turns_path, ray.data.Dataset):
-        in_fp = _DS_NONCE.get(turns_path)
-        if in_fp is None:
-            import os as _os
-            in_fp = "dataset-nonce:" + _os.urandom(8).hex()
-            _DS_NONCE[turns_path] = in_fp
-    else:
-        in_fp = input_fingerprint(turns_path)
+    in_fp = root_input_fp(turns_path)
     docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
                          input_fp=in_fp)
     # exact dedup runs ONCE even though its two outputs checkpoint as

@@ -733,8 +733,13 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3,
         return top[["doc_id", "token", "tf", "df", "tfidf"]]
 
     import ray as _ray
-    # ONE executor pass decides the switch AND fetches the broadcast
-    # payload (limit(N+1) stops early on a web-scale vocabulary)
+    # materialize the vocabulary-sized df table ONCE: the groupby
+    # barrier means the switch probe below must execute the full
+    # aggregation anyway, and without this the distributed plan's join
+    # would lazily RE-RUN that whole aggregation (tokenize + shuffle)
+    # a second time. Object-store blocks of (token, int64) — far
+    # smaller than the corpus, spillable at web scale.
+    df_ds = df_ds.materialize()
     df_tbl = df_ds.limit(broadcast_limit + 1).to_pandas()
     if len(df_tbl) <= broadcast_limit:
         df_ref = _ray.put(df_tbl)
@@ -757,8 +762,13 @@ def documents_tfidf_top_terms(sf_dir: str, k: int = 3,
                 .size().rename(columns={"size": "tf"}))
 
     tf_ds = ds.map_batches(tf_partial, batch_format="pandas")
-    # inner join is complete: every tf token has a df row by construction
-    j = tf_ds.join(df_ds, join_type="inner", num_partitions=8,
+    # inner join is complete: every tf token has a df row by construction.
+    # Width via the shared join_width policy (df row count is metadata-only
+    # on the materialized table) — a fixed width cannot spread a 1e8-row
+    # vocabulary, and over-wide joins pay per-partition aggregator startup
+    from miekki_ray.stages.verify import join_width
+    j = tf_ds.join(df_ds, join_type="inner",
+                   num_partitions=join_width(64, df_ds.count()),
                    on=("token",))
     out = (j.groupby("doc_id")
            .map_groups(rank_top, batch_format="pandas"))

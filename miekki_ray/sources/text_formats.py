@@ -102,10 +102,20 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str):
     if len(out) == 0:
         # Ray drops empty blocks before the sink UDF, so a fully-filtered
         # corpus reaches here with zero part files and the schema would
-        # be lost (ADVICE r3). Recover it from the dataset's lineage —
-        # cheap, the pipeline is zero-row — and persist ONE 0-row part
-        # whose IPC footer carries it, so read_ipc round-trips the schema.
-        sch = ds.schema(fetch_if_missing=True)
+        # be lost (ADVICE r3). Recover it: first from PLAN metadata
+        # (fetch_if_missing=False — free when the schema is statically
+        # known), else by fetching. The fetch can re-execute the
+        # just-consumed lineage, and on an fn-filtered pipeline it
+        # reports None anyway (Ray derives no schema from all-empty
+        # executor output, verified 2.49.2,
+        # test_ipc_fully_filtered_input_no_crash) — a documented
+        # worst-case cost paid only on zero-output sinks, in exchange
+        # for the schema round-trip wherever it is recoverable at all
+        # (e.g. a 0-row from_arrow input). Persist ONE 0-row part whose
+        # IPC footer carries the recovered schema, so read_ipc
+        # round-trips it.
+        sch = (ds.schema(fetch_if_missing=False)
+               or ds.schema(fetch_if_missing=True))
         arrow_sch = getattr(sch, "base_schema", None)
         if isinstance(arrow_sch, pa.Schema) and arrow_sch.names:
             rec = dump(arrow_sch.empty_table())

@@ -20,6 +20,7 @@ import hashlib
 import json
 import os
 import tempfile
+import weakref
 
 import ray.data
 
@@ -75,6 +76,32 @@ def input_fingerprint(paths) -> str:
             entries.append((str(p), -1, -1))
     blob = json.dumps(entries, sort_keys=True).encode()
     return hashlib.blake2b(blob, digest_size=16).hexdigest()
+
+
+# per-object checkpoint nonces for in-memory Dataset inputs (root_input_fp);
+# weak keys so a collected Dataset can never bequeath its nonce to a new
+# object reusing its address
+_DS_NONCE: "weakref.WeakKeyDictionary[ray.data.Dataset, str]" = \
+    weakref.WeakKeyDictionary()
+
+
+def root_input_fp(turns_path) -> str:
+    """Root-stage input identity, shared by every checkpointed pipeline
+    (run_dedup, run_curate): a different corpus at the same out_dir + cfg
+    must invalidate the first stage (and transitively everything). Paths
+    fingerprint by content listing (input_fingerprint). An in-memory
+    Dataset has no content identity to fingerprint, so it gets a nonce
+    keyed on OBJECT identity: re-running the SAME immutable Dataset
+    resumes; any other Dataset — including the same corpus rebuilt in a
+    new process — recomputes. A None fingerprint would silently resurrect
+    a previous corpus's results."""
+    if isinstance(turns_path, ray.data.Dataset):
+        fp = _DS_NONCE.get(turns_path)
+        if fp is None:
+            fp = "dataset-nonce:" + os.urandom(8).hex()
+            _DS_NONCE[turns_path] = fp
+        return fp
+    return input_fingerprint(turns_path)
 
 
 def manifest_valid(stage_dir: str, config_hash: str,
@@ -190,12 +217,23 @@ class StageRunner:
 
     def run(self, stage: str, fn, upstream_dir: str | None = None,
             input_fp: str | None = None,
-            metrics_fn=None) -> tuple[ray.data.Dataset, str]:
+            metrics_fn=None,
+            config_hash: str | None = None) -> tuple[ray.data.Dataset, str]:
+        # config_hash: per-STAGE override of the runner-wide hash, for a
+        # stage whose output depends on only a subset of the job's knobs
+        # (run_curate: a pack-budget sweep must not invalidate the
+        # expensive docs/clean/curated checkpoints whose outputs are
+        # byte-identical). Knob changes in UPSTREAM stages still
+        # invalidate downstream transitively through up_hash — the
+        # upstream manifest embeds its own config_hash — so a stage's
+        # hash needs only its OWN knobs, never its ancestors'.
         import time
 
+        cfg_hash = config_hash if config_hash is not None \
+            else self.config_hash
         stage_dir = os.path.join(self.out_dir, stage)
         up_hash = manifest_hash(upstream_dir) if upstream_dir else None
-        if manifest_valid(stage_dir, self.config_hash, up_hash,
+        if manifest_valid(stage_dir, cfg_hash, up_hash,
                           upstream_required=upstream_dir is not None,
                           input_fp=input_fp):
             self.skipped.append(stage)
@@ -213,7 +251,7 @@ class StageRunner:
             self.stage_sec[stage] = base["wall_sec"]
             return base
 
-        write_stage(ds, self.out_dir, stage, self.config_hash, up_hash,
+        write_stage(ds, self.out_dir, stage, cfg_hash, up_hash,
                     input_fp=input_fp, metrics=_metrics)
         self.ran.append(stage)
         return read_stage(stage_dir), stage_dir

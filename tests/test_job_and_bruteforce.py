@@ -69,7 +69,9 @@ def test_run_curate_ckpt_matches_inmemory_and_invalidates(
         turns_path, tmp_path, cfg):
     """The checkpointed curation path must be output-identical to the
     pure-lazy composition (the scale_paths discipline), and a changed
-    semantic knob (pack budget) must invalidate the checkpoints."""
+    semantic knob must invalidate exactly the stages whose output it
+    changes — per-stage config hashes (r4): a pack-budget sweep must NOT
+    recompute the docs shuffle or the quality filter."""
     from miekki_ray.pipelines.curate import run_curate
 
     kw = dict(min_words=5, min_alpha_ratio=0.5, budget=64)
@@ -80,10 +82,26 @@ def test_run_curate_ckpt_matches_inmemory_and_invalidates(
     b = ck.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert m1["skipped"] == []
-    # budget change -> every stage's config hash changes -> full re-run
+    # budget is a pack-only knob: ONLY packed re-runs
     _, m2 = run_curate(turns_path, cfg, out_dir=out,
                        min_words=5, min_alpha_ratio=0.5, budget=32)
-    assert "packed" in m2["ran"] and m2["skipped"] == []
+    assert m2["ran"] == ["packed"]
+    assert m2["skipped"] == ["docs", "curated"]
+    # min_words feeds the curated stage: curated re-runs, and packed
+    # follows transitively (its upstream manifest hash changed)
+    _, m3 = run_curate(turns_path, cfg, out_dir=out,
+                       min_words=6, min_alpha_ratio=0.5, budget=32)
+    assert m3["ran"] == ["curated", "packed"]
+    assert m3["skipped"] == ["docs"]
+    # the refined outputs still match a from-scratch in-memory run
+    mem3, _ = run_curate(turns_path, cfg, min_words=6,
+                         min_alpha_ratio=0.5, budget=32)
+    ck3, m4 = run_curate(turns_path, cfg, out_dir=out, min_words=6,
+                         min_alpha_ratio=0.5, budget=32)
+    assert m4["ran"] == []
+    a3 = mem3.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b3 = ck3.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a3.equals(b3)
 
 
 def test_run_curate_decontaminates(turns_path, tmp_path, cfg, small_corpus):
@@ -121,6 +139,12 @@ def test_run_curate_decontaminates(turns_path, tmp_path, cfg, small_corpus):
                        bench_docs=bench, **kw)
     assert m3["skipped"] == ["docs"]
     assert m3["ran"] == ["clean", "curated", "packed"]
+    # decontamination OFF: "curated"'s upstream flips from the clean dir
+    # to the docs dir, so curated+packed re-run off the unchanged docs
+    # root — no knob needed, the upstream-manifest hash carries it
+    _, m4 = run_curate(turns_path, cfg, out_dir=out, **kw)
+    assert m4["skipped"] == ["docs"]
+    assert m4["ran"] == ["curated", "packed"]
 
 
 def test_bruteforce_jaccard_matches_oracle(small_corpus, cfg):
