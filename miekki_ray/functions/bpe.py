@@ -99,6 +99,14 @@ class BpeTokenizer:
     """Rank-greedy BPE encoder, counting only (the packing/mix operators
     need n_tokens, not token ids)."""
 
+    # the Zipf head is what caching pays for; the tail (hex ids, URLs,
+    # base64 blobs — unbounded cardinality in real conversation logs)
+    # must not grow a per-worker-process dict without limit, so the
+    # cache is capped and very long "words" (merge loops are O(len²),
+    # but such blobs rarely repeat) skip it entirely
+    CACHE_MAX = 262_144
+    CACHE_WORD_MAX = 64
+
     def __init__(self, merges: list[tuple[bytes, bytes]] | None = None):
         self.ranks = {p: i for i, p in enumerate(merges if merges is not None
                                                  else load_merges())}
@@ -130,7 +138,9 @@ class BpeTokenizer:
                     i += 1
             s = out
         c = len(s)
-        self._cache[w] = c
+        if (len(w) <= self.CACHE_WORD_MAX
+                and len(self._cache) < self.CACHE_MAX):
+            self._cache[w] = c
         return c
 
     def count(self, texts: pd.Series) -> np.ndarray:

@@ -69,40 +69,35 @@ def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(shingle_hashes_ordered(data, k))
 
 
-def shingle_sets_from_arrow(col, k: int,
-                            prefix_bytes: int | None = None
-                            ) -> tuple[list[np.ndarray], list[np.ndarray]]:
-    """Per-doc UNIQUE shingle-hash sets for a whole Arrow string column in
-    ONE rolling-hash pass over the column's shared data buffer — no
-    Python-string materialization, no per-doc kernel launches. The
-    polynomial window hash h[i] depends only on bytes i..i+k-1, so the
-    global pass yields bit-identical hashes to per-doc passes; windows
-    crossing doc boundaries are simply never sliced.
+def iter_ordered_kgram_slices(col, k: int):
+    """THE shared Arrow-buffer chunk-walk (r4: shingle_sets_from_arrow and
+    textstats.winnow_sets_from_arrow carried verbatim copies that had
+    already drifted on the null-data-buffer guard): yield one
+    POSITION-ORDERED k-gram hash array per doc of an Arrow string column,
+    computed with no Python-string materialization and no per-doc kernel
+    launches. The polynomial window hash h[i] depends only on bytes
+    i..i+k-1, so the batch pass yields bit-identical hashes to per-doc
+    passes; windows crossing doc boundaries are simply never sliced.
 
-    Returns (sets, prefix_sets): per-doc unique hash arrays, and (when
-    prefix_bytes is set) the unique hashes of each doc's FIRST
-    prefix_bytes — a zero-cost slice of the same global pass (the old
-    path re-hashed every long doc's prefix)."""
+    Doc-aligned CHUNKS of ~64 KB: one rolling pass per chunk keeps the
+    ~5 temporaries L2-resident (a single whole-buffer pass streams MBs
+    through DRAM and measures 2x SLOWER). A sub-k doc's degenerate
+    whole-doc hash can't come from the chunk pass (its windows cross doc
+    boundaries) — the per-doc fallback on < k bytes is O(k)."""
     import pyarrow as pa
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
-        return [], []
+        return
     off_dtype = (np.int64 if pa.types.is_large_string(col.type)
                  else np.int32)
     bufs = col.buffers()
     offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         col.offset:col.offset + n + 1].astype(np.int64)
-    data = np.frombuffer(bufs[2], dtype=np.uint8)
-    sets: list[np.ndarray] = []
-    psets: list[np.ndarray] = []
-    want_prefix = prefix_bytes is not None
-    # doc-aligned CHUNKS of ~64 KB: one rolling pass per chunk keeps the
-    # ~5 temporaries L2-resident (a single whole-buffer pass streams MBs
-    # through DRAM and measures 2x SLOWER); window hashes depend only on
-    # local bytes, so per-chunk passes are bit-identical
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
     CHUNK = 64 * 1024
     i = 0
     while i < n:
@@ -115,24 +110,43 @@ def shingle_sets_from_arrow(col, k: int,
         for d in range(i, j):
             s, e = offs[d] - cs, offs[d + 1] - cs
             if e - s >= k:
-                h = np.unique(big[s:e - k + 1])
-                sets.append(h)
-                if want_prefix:
-                    if e - s <= prefix_bytes:
-                        psets.append(h)
-                    else:
-                        # max(...) guards prefix_bytes < k (validated away in
-                        # DedupConfig, kept as defense): an empty slice here
-                        # would violate minhash_from_concat's >=1-shingle
-                        # precondition and corrupt the next doc's psig
-                        psets.append(np.unique(
-                            big[s:s + max(prefix_bytes - k + 1, 1)]))
+                yield big[s:e - k + 1]
             else:
-                h = shingle_hashes(data[cs + s:cs + e].tobytes(), k)
-                sets.append(h)
-                if want_prefix:
-                    psets.append(h)
+                yield shingle_hashes_ordered(
+                    data[cs + s:cs + e].tobytes(), k)
         i = j
+
+
+def shingle_sets_from_arrow(col, k: int,
+                            prefix_bytes: int | None = None
+                            ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-doc UNIQUE shingle-hash sets for a whole Arrow string column in
+    ONE rolling-hash pass over the column's shared data buffer
+    (iter_ordered_kgram_slices above).
+
+    Returns (sets, prefix_sets): per-doc unique hash arrays, and (when
+    prefix_bytes is set) the unique hashes of each doc's FIRST
+    prefix_bytes — a zero-cost sub-slice of the same ordered slice (the
+    old path re-hashed every long doc's prefix). A doc's byte length is
+    len(slice) + k - 1 (the degenerate sub-k slice has length 1, i.e.
+    "length k" here — below every valid prefix_bytes, so it reuses h
+    exactly as the pre-refactor code did)."""
+    sets: list[np.ndarray] = []
+    psets: list[np.ndarray] = []
+    want_prefix = prefix_bytes is not None
+    for sl in iter_ordered_kgram_slices(col, k):
+        h = np.unique(sl)
+        sets.append(h)
+        if want_prefix:
+            if sl.size + k - 1 <= prefix_bytes:
+                psets.append(h)
+            else:
+                # max(...) guards prefix_bytes < k (validated away in
+                # DedupConfig, kept as defense): an empty slice here
+                # would violate minhash_from_concat's >=1-shingle
+                # precondition and corrupt the next doc's psig
+                psets.append(np.unique(
+                    sl[:max(prefix_bytes - k + 1, 1)]))
     return sets, psets
 
 

@@ -98,6 +98,18 @@ def approx_quantiles(ds: ray.data.Dataset, value_col: str,
     return quantile(ds.aggregate(agg)["tdigest"], np.asarray(qs))
 
 
+def _q_name(q: float) -> str:
+    """Quantile -> column name: p50, p90, p99 for integral percents
+    (round, don't truncate: int(0.29*100) == 28 from the inexact float
+    product), p99_5 / p99_9 for fractional ones — naming every q>=0.995
+    'p100' both mislabels the tail quantile and produces DUPLICATE
+    column names that crash the Arrow block conversion (r4 review)."""
+    pct = round(q * 100, 6)
+    if pct == int(pct):
+        return f"p{int(pct)}"
+    return "p" + ("%g" % pct).replace(".", "_")
+
+
 def grouped_approx_quantiles(ds: ray.data.Dataset, key: str,
                              value_col: str,
                              qs: tuple[float, ...] = (0.5, 0.9, 0.99),
@@ -120,9 +132,7 @@ def grouped_approx_quantiles(ds: ray.data.Dataset, key: str,
             for mb, cb in zip(grp["_m"], grp["_c"]):
                 dig = merge(dig, (np.frombuffer(mb), np.frombuffer(cb)), d)
             out.append((k, *np.round(quantile(dig, np.asarray(qs)), 6)))
-        # round, don't truncate: int(0.29 * 100) == 28 (inexact float
-        # product) would silently mislabel the quantile column
-        cols = [key] + [f"p{int(round(q * 100))}" for q in qs]
+        cols = [key] + [_q_name(q) for q in qs]
         return pd.DataFrame(out, columns=cols)
 
     return (ds.map_batches(partial, batch_format="pandas")

@@ -136,53 +136,21 @@ def winnow_fingerprints(text: str, k: int = 12,
 def winnow_sets_from_arrow(col, k: int = 12,
                            window: int = 32) -> list[np.ndarray]:
     """Batch winnowing: per-doc Schleimer fingerprint sets for a whole
-    Arrow string column in ONE chunked rolling-hash pass — the same
-    chassis as hashing.shingle_sets_from_arrow (doc-aligned ~64 KB chunks
-    keep the rolling hash's temporaries L2-resident; the window hash
-    depends only on its own bytes, so chunk passes are bit-identical to
-    per-doc passes). Bit-identical to per-doc ``winnow_fingerprints``
-    (pinned by pytest); the per-doc remainder is two numpy kernels
-    (sliding-window min + unique), not an encode + rolling pass."""
-    import pyarrow as pa
+    Arrow string column in ONE chunked rolling-hash pass — the SHARED
+    chassis hashing.iter_ordered_kgram_slices (r4: this function and
+    shingle_sets_from_arrow carried drifting copies of the chunk walk).
+    Bit-identical to per-doc ``winnow_fingerprints`` (pinned by pytest);
+    the per-doc remainder is two numpy kernels (sliding-window min +
+    unique), not an encode + rolling pass."""
+    from miekki_ray.functions.hashing import iter_ordered_kgram_slices
 
-    from miekki_ray.functions.hashing import U64, shingle_hashes_ordered
-
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return []
-    off_dtype = (np.int64 if pa.types.is_large_string(col.type)
-                 else np.int32)
-    bufs = col.buffers()
-    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
-        col.offset:col.offset + n + 1].astype(np.int64)
-    data = (np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None else np.empty(0, dtype=np.uint8))
     out: list[np.ndarray] = []
-    CHUNK = 64 * 1024
-    i = 0
-    while i < n:
-        j = i + 1
-        while j < n and offs[j + 1] - offs[i] <= CHUNK:
-            j += 1
-        cs, ce = offs[i], offs[j]
-        big = (shingle_hashes_ordered(data[cs:ce].tobytes(), k)
-               if ce - cs >= k else np.empty(0, dtype=U64))
-        for d in range(i, j):
-            s, e = offs[d] - cs, offs[d + 1] - cs
-            # sub-k doc: the degenerate whole-doc hash can't come from the
-            # chunk pass (its windows cross doc boundaries) — per-doc
-            # fallback on < k bytes is O(k)
-            h = (big[s:e - k + 1] if e - s >= k
-                 else shingle_hashes_ordered(data[cs + s:cs + e].tobytes(),
-                                             k))
-            if h.size <= window:
-                out.append(np.unique(h.min(keepdims=True)))
-            else:
-                win = np.lib.stride_tricks.sliding_window_view(h, window)
-                out.append(np.unique(win.min(axis=1)))
-        i = j
+    for h in iter_ordered_kgram_slices(col, k):
+        if h.size <= window:
+            out.append(np.unique(h.min(keepdims=True)))
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, window)
+            out.append(np.unique(win.min(axis=1)))
     return out
 
 

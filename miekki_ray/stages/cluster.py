@@ -141,7 +141,6 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
     shuffle). Raises RuntimeError instead of silently returning split
     components if max_rounds is ever hit (would need diameter > 2^rounds).
     """
-    from ray.data.aggregate import Min
 
     from miekki_ray.functions.util import add_str_part
 
@@ -207,6 +206,21 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
                               type=pa.string()),
         })
 
+    def part_min(group: pd.DataFrame) -> pa.Table:
+        # per-node min inside a coarse partition: every row for a node
+        # lands in ONE _part (deterministic str_part), so the pandas
+        # C-speed groupby IS the global reduce — never a fine-grained
+        # Ray groupby("node").aggregate(Min) at node cardinality, the
+        # per-GROUP-overhead shape measured 177x slower in
+        # candidates.bucket_sizes (390 s -> 2.2 s on 8.5M rows)
+        m = group.groupby("node", sort=False)["other"].min()
+        return pa.table({
+            "node": pa.array(m.index.to_numpy().astype(str),
+                             type=pa.string()),
+            "label": pa.array(m.to_numpy().astype(str),
+                              type=pa.string()),
+        })
+
     fp_prev = None
     for _ in range(max_rounds):
         mixed = edges_sym.union(
@@ -217,8 +231,10 @@ def cluster_labels_distributed(edges: ray.data.Dataset, cfg: DedupConfig,
                 .map_groups(propagate, batch_format="pandas"))
         # the per-node min IS the next round's label set (one shuffle,
         # reused — not computed once for a fingerprint and thrown away)
-        labels = cand.groupby("node").aggregate(
-            Min("other", alias_name="label"))
+        labels = (cand.map_batches(add_str_part("node", P),
+                                   batch_format="pandas")
+                  .groupby("_part")
+                  .map_groups(part_min, batch_format="pandas"))
         labels = _pointer_jump(labels, P).materialize()
         fp = _label_fingerprint(labels)
         if fp == fp_prev:

@@ -67,7 +67,23 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
     text-bearing exchange is the final confirm join; candidates cross
     the shuffles as (int64, int64) rows."""
     floor = window + k - 1
-    slim = docs.select_columns([id_col, text_col])
+
+    # NULL texts carry the SQL contains() semantics (NULL -> no pair,
+    # DuckDB oracle): drop them up front so both completeness legs agree.
+    # Without this, the short-doc sweep silently excluded nulls (pc.less
+    # over a null length filters the row) while the fingerprint leg fed
+    # them to the winnow kernel as empty bytes — and a null reaching
+    # _confirm crashed on len(None).
+    def drop_null_text(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_valid(batch[text_col]))
+
+    proj = docs.select_columns([id_col, text_col])
+    # schema off the bare projection (statically known, no execution) —
+    # slim's map_batches would force a fetch for the join schemas below
+    proj_schema = proj.schema()
+    slim = proj.map_batches(drop_null_text, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     # --- short-doc sweep (completeness leg 2): one streaming pass that
     # materializes ONLY the sub-floor rows (tiny by definition)
@@ -228,7 +244,7 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
     # chained-join site applies (attach_docs, index_query): a join
     # partition that receives zero left blocks emits a block WITHOUT the
     # next join's key column [env ray 2.49.2]
-    sch = slim.schema()   # ray Schema wrapper: .names/.types (arrow)
+    sch = proj_schema     # ray Schema wrapper: .names/.types (arrow)
     ttype = dict(zip(sch.names, sch.types))[text_col]
     j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                            ("_ta", ttype)])

@@ -118,7 +118,12 @@ def range_join_agg(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 round_half_away
             res["sum_matched"] = round_half_away(sums, 6)
         for c in int_out:
-            res[c] = res[c].astype("int64")
+            # downcast Int64 -> int64 only when null-free: a genuinely
+            # null left payload value must stay a masked null (astype
+            # raises on NA — the exact crash pandas_nullable_ints exists
+            # to prevent); Arrow renders both as int64, nulls preserved
+            if not res[c].isna().any():
+                res[c] = res[c].astype("int64")
         return pa_from_pandas(res[out_cols])
 
     out = (lt.union(rt)

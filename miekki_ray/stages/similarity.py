@@ -108,8 +108,6 @@ def _det_topk_idx(scores: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
     """Per-batch top-k selection with the SAME (rounded score DESC, id ASC)
     order the final merge and the SQL oracle use — raw-score argpartition
     could keep the wrong id when scores tie at 6dp on the k boundary."""
-    from miekki_ray.functions.textstats import round_half_away
-
     return np.lexsort((ids, -round_half_away(scores, 6)))[:kk]
 
 
@@ -120,7 +118,6 @@ def _rank_topk(parts: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
         parts["rank"] = pd.Series([], dtype=np.int32)
         return parts
     parts = parts.copy()
-    from miekki_ray.functions.textstats import round_half_away
     parts["score"] = round_half_away(parts["score"].to_numpy(), 6)
     parts = parts.sort_values(
         ["query_idx", "score", id_col], ascending=[True, False, True],
@@ -520,9 +517,14 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
     beyond that, the LSH path is the answer."""
     from miekki_ray.stages.verify import guard_bruteforce
 
-    guard_bruteforce(embeddings.count(), max_rows, "embedding_pairs_exact",
+    # ONE lineage execution: limit(N+1) sizes the guard AND fetches the
+    # table (the repo's loser-fetch idiom) — the previous count() +
+    # to_pandas() + final map_batches over `embeddings` re-ran the whole
+    # upstream pipeline three times on a non-materialized input
+    full = (embeddings.select_columns([id_col, vec_col])
+            .limit(max_rows + 1).to_pandas())
+    guard_bruteforce(len(full), max_rows, "embedding_pairs_exact",
                      "embedding_near_dups (LSH-bucketed, same contract)")
-    full = embeddings.select_columns([id_col, vec_col]).to_pandas()
     ids_all = full[id_col].to_numpy(dtype=np.int64)
     m_all = _normalize(np.stack(
         full[vec_col].map(np.asarray).to_list()).astype(np.float64))
@@ -548,8 +550,17 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
                                type=pa.float64()),
         })
 
-    return embeddings.map_batches(partial, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+    # fan the per-batch matmuls out over slices of the ALREADY-fetched
+    # table (verify_local's pre-slice pattern: from_arrow of k tables =
+    # k blocks = k tasks) instead of re-executing the upstream lineage
+    # a third time just to stream the same rows past the kernel
+    tbl = pa.Table.from_pandas(full, preserve_index=False)
+    step = 1024
+    slices = ([tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+              or [tbl])
+    return ray.data.from_arrow(slices).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=step)
 
 
 def embedding_near_dups(embeddings: ray.data.Dataset, threshold: float = 0.98,

@@ -236,14 +236,27 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
             .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
             .to_pandas())
     dmap = dict(zip(need["conv_id"].astype(str), need["doc"]))
+    # a pair referencing a conv_id absent from docs drops SILENTLY —
+    # the same semantics the distributed path gets from attach_docs'
+    # inner joins. In-repo callers guarantee pairs⊆docs, but the two
+    # paths auto-switch on pair volume and must not diverge (r4 review:
+    # a KeyError here would make the same workload pass at scale and
+    # crash on a small rerun)
+    a_s, b_s = pdf["a"].astype(str), pdf["b"].astype(str)
+    have = a_s.isin(dmap.keys()).to_numpy() \
+        & b_s.isin(dmap.keys()).to_numpy()
+    if not have.all():
+        pdf, a_s, b_s = pdf[have], a_s[have], b_s[have]
+        if pdf.empty:
+            return empty_verified()
     batch = pa.table({
-        "a": pa.array(pdf["a"].astype(str), type=pa.string()),
-        "b": pa.array(pdf["b"].astype(str), type=pa.string()),
+        "a": pa.array(a_s, type=pa.string()),
+        "b": pa.array(b_s, type=pa.string()),
         "n_bands": pa.array(pdf["n_bands"].to_numpy(dtype=np.int32),
                             type=pa.int32()),
-        "doc_a": pa.array([dmap[x] for x in pdf["a"].astype(str)],
+        "doc_a": pa.array([dmap[x] for x in a_s],
                           type=pa.large_string()),
-        "doc_b": pa.array([dmap[x] for x in pdf["b"].astype(str)],
+        "doc_b": pa.array([dmap[x] for x in b_s],
                           type=pa.large_string()),
     })
     if batch.num_rows <= 4 * cfg.verify_batch_size:

@@ -139,3 +139,14 @@ def test_containment_distributed_multipartition():
     # exactly the (i, 9999) containments: the 250 hosts pairwise share
     # the base but none contains another (distinct prefix/suffix)
     assert got == {(i, 9999) for i in range(250)}
+
+
+def test_containment_null_text_sql_semantics():
+    # r4 review: a NULL text must emit NO pairs (DuckDB contains() is
+    # NULL-propagating) instead of crashing _confirm on len(None) via the
+    # degenerate empty-buffer fingerprint; non-null pairs are unaffected.
+    # Exercise BOTH confirm paths.
+    rows = [(1, "needle"), (2, "the needle here"), (3, None), (4, None)]
+    for kw in ({}, {"driver_confirm_pairs": 0}):
+        out = containment_pairs_ds(_docs(rows), **kw).to_pandas()
+        assert set(zip(out["a"], out["b"])) == {(1, 2)}

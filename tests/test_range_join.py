@@ -69,3 +69,30 @@ def test_range_join_matches_bruteforce():
         exp_s.append(round(float(df["value"].to_numpy()[m].sum()), 6))
     assert list(out["n_matched"]) == exp_n
     assert np.allclose(out["sum_matched"], exp_s, atol=1e-6)
+
+
+def test_range_join_null_left_int_payload():
+    # r4 review: a NULL left int payload crashed the final astype('int64')
+    # — the exact case pandas_nullable_ints documents. One output row per
+    # LEFT row, the null carried through as a masked null.
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    left = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": [base, base + pd.Timedelta(minutes=1), base],
+        "event_id": pd.array([10, pd.NA, 30], dtype="Int64"),
+    })
+    right = pd.DataFrame({
+        "user_id": [1, 2],
+        "ts": [base + pd.Timedelta(minutes=2)] * 2,
+        "value": [1.5, 2.5],
+    })
+    out = range_join_agg(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="user_id", left_ts="ts", right_key="user_id", right_ts="ts",
+        lo_us=0, hi_us=10 * MIN, left_cols={"event_id": pa.int64()},
+        sum_col="value", num_partitions=2,
+    ).to_pandas()
+    assert len(out) == 3                      # one row per LEFT row
+    assert out["event_id"].isna().sum() == 1
+    got = out.dropna(subset=["event_id"]).set_index("event_id")["n_matched"]
+    assert got.to_dict() == {10: 1, 30: 1}

@@ -139,3 +139,26 @@ def test_verify_local_fanout_branch_identical():
     pd.testing.assert_frame_equal(
         inline.sort_values(key).reset_index(drop=True),
         fanout.sort_values(key).reset_index(drop=True))
+
+
+def test_verify_local_drops_pairs_missing_from_docs():
+    # r4 review: the distributed path inner-joins away a pair whose id is
+    # absent from docs; verify_local used to KeyError — the two paths
+    # auto-switch on pair volume and must not diverge on this input
+    from miekki_ray.stages.verify import verify_local
+
+    docs_tbl = pa.table({
+        "conv_id": pa.array(["c0", "c1"]),
+        "doc": pa.array(["user: shared text body one two three"] * 2,
+                        type=pa.large_string()),
+    })
+    pairs_tbl = pa.table({
+        "a": pa.array(["c0", "c0"]),
+        "b": pa.array(["c1", "cMISSING"]),
+        "n_bands": pa.array([1, 1], type=pa.int32()),
+    })
+    out = verify_local(ray.data.from_arrow(pairs_tbl),
+                       ray.data.from_arrow(docs_tbl),
+                       DedupConfig(num_partitions=2, sketch_concurrency=2)
+                       ).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {("c0", "c1")}

@@ -59,3 +59,21 @@ def test_grouped_digests_per_key():
         want = np.quantile(v, [0.5, 0.9, 0.99])
         got = row[["p50", "p90", "p99"]].to_numpy(dtype=np.float64)
         assert np.abs(got - want).max() < 2.0, (row["k"], got, want)
+
+
+def test_quantile_column_names_tail_safe():
+    # r4 review: q >= 0.995 used to round to 'p100' (mislabeled AND
+    # duplicated, crashing the Arrow block conversion)
+    from miekki_ray.functions.tdigest import _q_name
+
+    assert [_q_name(q) for q in (0.5, 0.9, 0.99)] == ["p50", "p90", "p99"]
+    assert _q_name(0.995) == "p99_5"
+    assert _q_name(0.999) == "p99_9"
+    assert _q_name(0.29) == "p29"          # inexact float product
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 5000),
+                       "value": rng.random(5000) * 100})
+    out = grouped_approx_quantiles(ray.data.from_pandas(df).repartition(3),
+                                   "k", "value", qs=(0.995, 0.999)) \
+        .to_pandas()
+    assert list(out.columns) == ["k", "p99_5", "p99_9"]
