@@ -107,7 +107,11 @@ def _q_name(q: float) -> str:
     pct = round(q * 100, 6)
     if pct == int(pct):
         return f"p{int(pct)}"
-    return "p" + ("%g" % pct).replace(".", "_")
+    # fixed-point, NOT "%g": %g keeps only 6 significant digits, so
+    # close fractional quantiles (12.34567 vs 12.34568) collapsed to the
+    # same name — the duplicate-column crash this helper exists to
+    # prevent — and sub-1e-5 percents went scientific ("p1e-05")
+    return "p" + f"{pct:.6f}".rstrip("0").rstrip(".").replace(".", "_")
 
 
 def grouped_approx_quantiles(ds: ray.data.Dataset, key: str,

@@ -79,9 +79,6 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
         return batch.filter(pc.is_valid(batch[text_col]))
 
     proj = docs.select_columns([id_col, text_col])
-    # schema off the bare projection (statically known, no execution) —
-    # slim's map_batches would force a fetch for the join schemas below
-    proj_schema = proj.schema()
     slim = proj.map_batches(drop_null_text, batch_format="pyarrow",
                             zero_copy_batch=True)
 
@@ -160,8 +157,10 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
 
     # --- short-side candidates: broadcast the short set, scan per batch
     if len(short):
+        # no fillna: drop_null_text guarantees slim (and thus short) is
+        # null-free — nulls carry the SQL contains() no-pair semantics
         sref = ray.put((short[id_col].to_numpy(dtype=np.int64),
-                        short[text_col].fillna("").tolist()))
+                        short[text_col].tolist()))
 
         def short_pairs(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -170,7 +169,7 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
             sids, stexts = ray.get(sref)
             ids = batch[id_col].to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            col = pc.fill_null(batch[text_col], "")
+            col = batch[text_col]          # null-free by drop_null_text
             out_a, out_b = [], []
             for sid, st in zip(sids, stexts):
                 hit = pc.match_substring(col, st).to_numpy(
@@ -244,7 +243,12 @@ def containment_pairs_ds(docs: ray.data.Dataset, *, id_col: str = "doc_id",
     # chained-join site applies (attach_docs, index_query): a join
     # partition that receives zero left blocks emits a block WITHOUT the
     # next join's key column [env ray 2.49.2]
-    sch = proj_schema     # ray Schema wrapper: .names/.types (arrow)
+    # schema off the bare projection, fetched only on THIS branch (on a
+    # statically-known source it is free; on a UDF-derived `docs` lineage
+    # it forces execution, which the driver-narrow path above never
+    # needs) — slim's map_batches would force the same fetch anyway for
+    # the join schemas below
+    sch = proj.schema()   # ray Schema wrapper: .names/.types (arrow)
     ttype = dict(zip(sch.names, sch.types))[text_col]
     j1_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                            ("_ta", ttype)])

@@ -521,10 +521,18 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
     # table (the repo's loser-fetch idiom) — the previous count() +
     # to_pandas() + final map_batches over `embeddings` re-ran the whole
     # upstream pipeline three times on a non-materialized input
+    PAIRS_EMPTY = pa.table({"a": pa.array([], type=pa.int64()),
+                            "b": pa.array([], type=pa.int64()),
+                            "cosine": pa.array([], type=pa.float64())})
     full = (embeddings.select_columns([id_col, vec_col])
             .limit(max_rows + 1).to_pandas())
     guard_bruteforce(len(full), max_rows, "embedding_pairs_exact",
-                     "embedding_near_dups (LSH-bucketed, same contract)")
+                     "embedding_near_dups (LSH-bucketed, same contract)",
+                     exact_count=False)
+    if len(full) == 0:
+        # a fully-filtered upstream is a legitimate input (np.stack on
+        # zero arrays raises an obscure ValueError otherwise)
+        return ray.data.from_arrow(PAIRS_EMPTY)
     ids_all = full[id_col].to_numpy(dtype=np.int64)
     m_all = _normalize(np.stack(
         full[vec_col].map(np.asarray).to_list()).astype(np.float64))
@@ -532,9 +540,7 @@ def embedding_pairs_exact(embeddings: ray.data.Dataset,
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64()),
-                             "cosine": pa.array([], type=pa.float64())})
+            return PAIRS_EMPTY
         all_ids, all_m = ray.get(ref)
         m = _normalize(_mat(batch, vec_col, np.float64))
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -273,16 +273,21 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
 
 
 def guard_bruteforce(n_rows: int, limit: int, op: str,
-                     scale_path: str) -> None:
+                     scale_path: str, exact_count: bool = True) -> None:
     """Hard gate on the documented O(n²) accuracy baselines (VERDICT r2
     "What's wrong" #2): they broadcast the whole corpus and compare all
     pairs, which is correct at oracle scope and catastrophic at corpus
     scope. Failing loudly with the scale path named beats an OOM three
-    stages later."""
+    stages later. exact_count=False when the caller sized the input via
+    a clamped limit(n+1) fetch — the true row count is unknown, so the
+    message must not present the clamp as the input size."""
     if n_rows > limit:
+        size = (f"{n_rows:,} rows" if exact_count
+                else f"more than {limit:,} rows (fetch clamped; true "
+                     f"size unknown)")
         raise ValueError(
             f"{op} is a brute-force O(n²) accuracy baseline: input has "
-            f"{n_rows:,} rows > its {limit:,}-row guard. At this scale "
+            f"{size} > its {limit:,}-row guard. At this scale "
             f"use {scale_path} instead (same contract, bucketed shuffle, "
             f"recall measured against this baseline at oracle scope).")
 

@@ -170,6 +170,22 @@ def test_bruteforce_guards_fire(emb_ds):
         jaccard_pairs_bruteforce(docs, cfg, max_rows=10)
 
 
+def test_embedding_pairs_exact_empty_input():
+    """r4 second review: a fully-filtered upstream is a legitimate input —
+    the baseline must return an empty pairs dataset, not crash np.stack."""
+    from miekki_ray.stages.similarity import embedding_pairs_exact
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    }))
+    out = embedding_pairs_exact(empty)
+    # schema asserted on the Dataset: to_pandas() of a 0-row dataset
+    # drops column names [env ray 2.49.2]
+    assert out.schema().names == ["a", "b", "cosine"]
+    assert out.count() == 0
+
+
 def test_ivf_partitioned_matches_filter_variant(emb_ds):
     """r4 graded-entry pin (VERDICT r3 Next #1): ivf_topk_partitioned
     (cell-keyed groupby — the graded ann_topk_ivf) must be IDENTICAL to

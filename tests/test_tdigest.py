@@ -77,3 +77,16 @@ def test_quantile_column_names_tail_safe():
                                    "k", "value", qs=(0.995, 0.999)) \
         .to_pandas()
     assert list(out.columns) == ["k", "p99_5", "p99_9"]
+
+
+def test_quantile_column_names_precision_safe():
+    # r4 second review: '%g' keeps 6 significant digits, so close
+    # fractional quantiles collapsed to the SAME name (the duplicate-
+    # column Arrow crash again) and tiny ones went scientific
+    from miekki_ray.functions.tdigest import _q_name
+
+    a, b = _q_name(0.1234567), _q_name(0.1234568)
+    assert a != b, (a, b)
+    assert a == "p12_34567" and b == "p12_34568"
+    assert _q_name(1e-5) == "p0_001"       # no 'p1e-05'
+    assert _q_name(0.12345678) == _q_name(0.123456784)  # 6dp round, stable
