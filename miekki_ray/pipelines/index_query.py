@@ -89,6 +89,68 @@ def _emit_cross_pairs(cfg: DedupConfig):
     return emit
 
 
+def _expand_exact_dups(out: ray.data.Dataset,
+                       dup_map: ray.data.Dataset | None, col: str,
+                       cfg: DedupConfig) -> ray.data.Dataset:
+    """Fan verified matches back out to exact-dup members on one side.
+
+    ``dup_map`` rows are exact_dedup's (a=rep, b=member) edges. A match
+    row whose ``col`` id is a rep is duplicated once per member with
+    ``col`` rewritten — same text means the same shingle set, so every
+    payload column (n_bands, jaccard, containment, verdicts) carries over
+    verbatim. One coarse co-partition exchange on the rep id (the
+    side-tagged union + groupby("_p") idiom); only id-width rows move.
+    No-op when the side has no exact dups (the common case — one cheap
+    count over the already-materialized tagged table decides)."""
+    from miekki_ray.functions.util import pandas_nullable_ints, str_part
+    from miekki_ray.stages.verify import VERIFIED_SCHEMA
+
+    if dup_map is None:
+        return out
+    dup_map = dup_map.materialize()
+    if dup_map.count() == 0:
+        return out
+    P = cfg.num_partitions
+
+    def tag_match(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "_member", pa.nulls(batch.num_rows, pa.string()))
+        s = pd.Series(t[col].to_pandas(), copy=False)
+        return t.append_column(
+            "_p", pa.array(str_part(s, P), type=pa.int32()))
+
+    def tag_map(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {f.name: pa.nulls(n, f.type) for f in VERIFIED_SCHEMA}
+        cols[col] = batch["a"].cast(pa.string())        # rep
+        cols["_member"] = batch["b"].cast(pa.string())  # member
+        t = pa.table(cols)
+        s = pd.Series(t[col].to_pandas(), copy=False)
+        return t.append_column(
+            "_p", pa.array(str_part(s, P), type=pa.int32()))
+
+    def expand(g: pa.Table) -> pa.Table:
+        # nullable-int conversion: map rows carry typed nulls in n_bands,
+        # and the default pandas path would float64 the whole column
+        df = pandas_nullable_ints(g)
+        is_map = df["_member"].notna()
+        mm = df.loc[is_map, [col, "_member"]]
+        d = df.loc[~is_map].drop(columns=["_member", "_p"])
+        extra = d.merge(mm, on=col, how="inner")
+        extra[col] = extra["_member"]
+        extra = extra.drop(columns=["_member"])
+        res = pd.concat([d, extra], ignore_index=True)
+        return pa.Table.from_pandas(
+            res[list(VERIFIED_SCHEMA.names)], preserve_index=False) \
+            .cast(VERIFIED_SCHEMA).replace_schema_metadata(None)
+
+    mixed = (out.map_batches(tag_match, batch_format="pyarrow",
+                             zero_copy_batch=True)
+             .union(dup_map.map_batches(tag_map, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+    return mixed.groupby("_p").map_groups(expand, batch_format="pyarrow")
+
+
 def match_query_vs_index(query_turns: ray.data.Dataset | None,
                          index_turns: ray.data.Dataset | None,
                          cfg: DedupConfig | None = None, *,
@@ -112,19 +174,27 @@ def match_query_vs_index(query_turns: ray.data.Dataset | None,
 
     def side_chain(turns, side: str, pre: tuple | None):
         if pre is not None:
+            # prebuilt side: the caller owns its dup semantics (the
+            # incremental pipeline resolves exact-dup members through its
+            # own cluster table), so no member map to expand through
             uniq, bands = pre
+            dup_map = None
         else:
             # docs stays lazy: exact_dedup materializes its own tagged
             # table internally, so a docs barrier here would only pin a
             # second full-text copy in plasma
             docs = reconstruct_docs(turns, cfg)
-            uniq, _ = exact_dedup(docs, cfg)
+            uniq, ex_edges = exact_dedup(docs, cfg)
             uniq = uniq.materialize()
             bands = band_explode(sketch_docs(uniq, cfg), cfg)
-        return uniq, _tag_side(bands, side)
+            # (rep, member) exact-dup map: matches are computed over the
+            # deduped reps only, so they must be fanned back out to the
+            # byte-identical members afterwards (_expand_exact_dups)
+            dup_map = ex_edges.select_columns(["a", "b"])
+        return uniq, _tag_side(bands, side), dup_map
 
-    q_docs, q_bands = side_chain(query_turns, "q", query_side)
-    i_docs, i_bands = side_chain(index_turns, "i", index_side)
+    q_docs, q_bands, q_map = side_chain(query_turns, "q", query_side)
+    i_docs, i_bands, i_map = side_chain(index_turns, "i", index_side)
     bands = q_bands.union(i_bands).materialize()
 
     hot = hot_bucket_keys(bands.drop_columns(["side"]), cfg)
@@ -148,6 +218,14 @@ def match_query_vs_index(query_turns: ray.data.Dataset | None,
         j = attach_docs(pairs, q_docs, cfg, n_pairs=pairs.count(),
                         docs_b=i_docs)
         out = verify_pairs(j, cfg)
+        # matches were computed over exact-dedup REPS only; fan each one
+        # back out to the byte-identical members on both sides (identical
+        # text ⇒ identical shingle set ⇒ the rep's jaccard/containment
+        # verdict holds verbatim) — without this, a corpus with two
+        # identical queries would report a match for only one of them,
+        # silently diverging from the match-every-doc contract
+        out = _expand_exact_dups(out, q_map, "a", cfg)
+        out = _expand_exact_dups(out, i_map, "b", cfg)
     return rename(out, {"a": "query_id", "b": "index_id"})
 
 

@@ -26,15 +26,17 @@ from miekki_ray.functions.hashing import (
 _WORD_DTYPE = np.uint64
 
 
-def _stable_word_hashes(text: str, n: int) -> np.ndarray:
+def _stable_word_hashes(text: str | None, n: int) -> np.ndarray:
     """Unique uint64 hashes of word n-grams, deterministic across processes
     (python's builtin hash() is salted per process — never use it here).
     Per-word hashing via pandas' C siphash with its fixed default key,
     combined over the n-gram window with a golden-ratio polynomial.
     Tokenizer pinned to TOKEN_SPLIT_RE (the oracle's RE2 split class) —
-    Python str.split() is Unicode-aware and would diverge on VT/NBSP."""
+    Python str.split() is Unicode-aware and would diverge on VT/NBSP.
+    A null doc folds into the empty-doc sentinel (the char-shingle family
+    treats nulls as empty the same way) instead of crashing re.findall."""
     from miekki_ray.functions.textstats import TOKEN_SPLIT_RE
-    words = re.findall(TOKEN_SPLIT_RE, text)
+    words = re.findall(TOKEN_SPLIT_RE, text) if text else []
     if not words:
         return np.array([0], dtype=_WORD_DTYPE)
     wh = pd.util.hash_array(np.asarray(words, dtype=object))
@@ -47,13 +49,16 @@ def _stable_word_hashes(text: str, n: int) -> np.ndarray:
     return np.unique(splitmix64(out))
 
 
-def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    """Exact word-n-gram Jaccard of two texts."""
-    ha = _stable_word_hashes(a, n)
-    hb = _stable_word_hashes(b, n)
+def _jaccard_sets(ha: np.ndarray, hb: np.ndarray) -> float:
     inter = np.intersect1d(ha, hb, assume_unique=True).size
     union = ha.size + hb.size - inter
     return inter / union if union else 1.0
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard of two texts."""
+    return _jaccard_sets(_stable_word_hashes(a, n),
+                         _stable_word_hashes(b, n))
 
 
 class NgramSketcher:
@@ -93,9 +98,14 @@ def ngram_near_dup_pairs(docs: ray.data.Dataset, cfg: DedupConfig,
     from miekki_ray.stages.sketch import band_explode
     from miekki_ray.stages.verify import attach_docs
 
-    sk = docs.map_batches(NgramSketcher(cfg, n), batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          batch_size=cfg.sketch_batch_size).materialize()
+    # text-free materialization (the flagship's discipline, dedup.py):
+    # band_explode only reads conv_id/doc_hash/sig — materializing the
+    # doc column too would pin a second full-text copy in plasma for the
+    # whole candidate phase
+    sk = (docs.map_batches(NgramSketcher(cfg, n), batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=cfg.sketch_batch_size)
+          .select_columns(["conv_id", "doc_hash", "sig"]).materialize())
     # sig bands only: the ngram family has no true prefix sketch (its
     # psig slot is a second full-doc minhash) — labeling those bands
     # pband=True would cap their hot buckets at prefix_pair_cap
@@ -114,7 +124,19 @@ def ngram_near_dup_pairs(docs: ray.data.Dataset, cfg: DedupConfig,
     def verify(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        jac = np.array([ngram_jaccard(x, y, n) for x, y in zip(a, b)])
+        # docs repeat across pairs (a hot doc appears in every one of its
+        # capped pairs): tokenize+hash each distinct doc ONCE per batch —
+        # the same unique-doc cache discipline as verify.Verifier
+        cache: dict[str | None, np.ndarray] = {}
+
+        def hs(t):
+            h = cache.get(t)
+            if h is None:
+                h = _stable_word_hashes(t, n)
+                cache[t] = h
+            return h
+
+        jac = np.array([_jaccard_sets(hs(x), hs(y)) for x, y in zip(a, b)])
         return pa.table({
             "a": batch["a"], "b": batch["b"],
             "jaccard": pa.array(jac, type=pa.float64()),

@@ -93,28 +93,54 @@ def simhash_docs(docs: ray.data.Dataset, cfg: DedupConfig) -> ray.data.Dataset:
     )
 
 
+def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of n_blocks contiguous chunks covering 64 bits,
+    widths as equal as possible."""
+    w, r = divmod(64, n_blocks)
+    bounds, off = [], 0
+    for j in range(n_blocks):
+        width = w + (1 if j < r else 0)
+        bounds.append((off, width))
+        off += width
+    return bounds
+
+
 def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
                        max_hamming: int = 3) -> ray.data.Dataset:
-    """Near-dup candidates by SimHash: 4×16-bit band blocking (two docs
-    within Hamming distance 3 of 64 bits share at least one of 4 16-bit
-    blocks — pigeonhole), then exact Hamming filter per block group."""
+    """Near-dup candidates by SimHash: pigeonhole band blocking with the
+    block count DERIVED from the promised radius — two 64-bit signatures
+    within Hamming distance d differ in ≤ d blocks, so with d+1 blocks at
+    least one block is shared (the fixed 4×16 split of the first version
+    silently missed pairs for any max_hamming > 3). Exact Hamming filter
+    per block group keeps the output radius-exact."""
     import pandas as pd
+
+    from miekki_ray.functions.hashing import splitmix64
+
+    n_blocks = min(max_hamming + 1, 64)
+    bounds = _block_bounds(n_blocks)
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = batch["simhash"].to_numpy()
-        n = sig.size
         blocks = []
-        for j in range(4):
-            blocks.append(((sig >> np.uint64(16 * j))
-                           & np.uint64(0xFFFF)).astype(np.int64)
-                          + (j << 16))
+        for j, (off, width) in enumerate(bounds):
+            val = ((sig >> np.uint64(off))
+                   & np.uint64((1 << width) - 1))
+            # fold (chunk value, chunk index) into one int64 key: a fold
+            # collision can only MERGE buckets (extra candidates for the
+            # exact filter below), never split one — recall is preserved
+            with np.errstate(over="ignore"):
+                tagged = val ^ (np.uint64(j + 1)
+                                * np.uint64(0x9E3779B97F4A7C15))
+            blocks.append(splitmix64(tagged).view(np.int64))
         key = np.concatenate(blocks)
-        ids = np.tile(batch["conv_id"].to_numpy(zero_copy_only=False), 4)
-        sigs4 = np.tile(sig, 4)
+        ids = np.tile(batch["conv_id"].to_numpy(zero_copy_only=False),
+                      n_blocks)
+        sigsk = np.tile(sig, n_blocks)
         return pa.table({
             "block_key": pa.array(key, type=pa.int64()),
             "conv_id": pa.array(ids, type=pa.string()),
-            "simhash": pa.array(sigs4, type=pa.uint64()),
+            "simhash": pa.array(sigsk, type=pa.uint64()),
         })
 
     def emit(group: pd.DataFrame) -> pd.DataFrame:
@@ -151,38 +177,20 @@ def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
         return pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)}) \
             .drop_duplicates()
 
-    P = cfg.num_partitions
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["block_key"].to_numpy() % P).astype(np.int32)
-        return batch.append_column("_part", pa.array(part, type=pa.int32()))
+    from miekki_ray.functions.util import add_uint_part
 
     per_block = (simmed.map_batches(explode, batch_format="pyarrow",
                                     zero_copy_batch=True)
-                 .map_batches(add_part, batch_format="pyarrow")
+                 .map_batches(add_uint_part("block_key",
+                                            cfg.num_partitions),
+                              batch_format="pyarrow")
                  .groupby("_part").map_groups(emit, batch_format="pandas"))
 
-    # a pair sharing MULTIPLE 16-bit blocks surfaces once per agreeing
-    # block, in different block_key partitions — the per-partition
-    # drop_duplicates above cannot see those twins. Global distinct:
-    # re-partition by hash(a, b) so all copies of a pair meet once.
-    def add_pair_part(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0 or "a" not in batch.columns:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str),
-                                 "_p": pd.Series([], dtype=np.int32)})
-        h = pd.util.hash_pandas_object(
-            batch["a"].astype(str) + "\x00" + batch["b"].astype(str),
-            index=False).to_numpy(dtype=np.uint64)
-        batch = batch.copy()
-        batch["_p"] = (h % np.uint64(P)).astype(np.int32)
-        return batch
+    # a pair sharing MULTIPLE blocks surfaces once per agreeing block, in
+    # different block_key partitions — the per-partition drop_duplicates
+    # above cannot see those twins. Global distinct via THE shared A1
+    # helper (candidates.distinct_pairs: same (a,b) co-partition
+    # convention as the LSH path — one definition, not a re-roll)
+    from miekki_ray.stages.candidates import distinct_pairs
 
-    def uniq(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0 or "a" not in group.columns:
-            return pd.DataFrame({"a": pd.Series([], dtype=str),
-                                 "b": pd.Series([], dtype=str)})
-        return group.drop_duplicates(subset=["a", "b"])[["a", "b"]]
-
-    return (per_block.map_batches(add_pair_part, batch_format="pandas")
-            .groupby("_p").map_groups(uniq, batch_format="pandas"))
+    return distinct_pairs(per_block, cfg).drop_columns(["n_bands"])

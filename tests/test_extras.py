@@ -136,6 +136,29 @@ def test_ngram_near_dup_pipeline(cfg):
     assert ("d1", "d3") not in found or not found[("d1", "d3")]
 
 
+def test_ngram_null_doc_no_crash(cfg):
+    """r4 review: a NULL doc (a null turn text propagates through
+    pc.binary_join) must fold into the empty-doc sentinel like the
+    char-shingle family — not crash re.findall."""
+    base = " ".join(f"word{i:03d}" for i in range(300))
+    from miekki_ray.functions.hashing import doc_hash
+    docs = pa.table({
+        "conv_id": pa.array(["d1", "d2", "dnull"], type=pa.string()),
+        "doc": pa.array([base, base.replace("word150", "EDITED"), None],
+                        type=pa.large_string()),
+        "doc_hash": pa.array(
+            doc_hash([base.encode(), b"edited-variant", b"null-doc"]),
+            type=pa.uint64()),
+    })
+    out = ngram_near_dup_pairs(ray.data.from_arrow(docs), cfg).to_pandas()
+    found = {(a, b): v for a, b, v in zip(out["a"], out["b"],
+                                          out["verified"])}
+    assert found.get(("d1", "d2")) is True
+    # the null doc never pairs with real text
+    assert not any("dnull" in p and found[p] for p in found
+                   if p != ("d1", "d2"))
+
+
 def test_hopping_windows_fanout(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -59,6 +59,50 @@ def test_matches_are_cross_side_only(qvi):
     assert not m["index_id"].str.startswith("Q").any()
 
 
+def test_index_exact_dup_members_also_matched(qvi):
+    """r4 review: matches are computed over exact-dedup reps, then fanned
+    back out — each query must match EVERY index doc byte-identical to
+    its source, not just the representative (the all-docs oracle)."""
+    m, q_ids, rep = qvi
+    verified = m[m["verified"]]
+    got = set(zip(verified["query_id"], verified["index_id"]))
+    members_of: dict[str, list[str]] = {}
+    for cid, r in rep.items():
+        members_of.setdefault(r, []).append(cid)
+    for qid in q_ids:
+        for member in members_of[rep[qid]]:
+            assert (f"Q{qid}", member) in got, (qid, member)
+
+
+def test_exact_dup_expansion_both_sides(cfg):
+    """Synthetic 2x2: two identical queries vs two identical index docs —
+    all four member pairs must be reported (r4 review fix)."""
+    text = " ".join(f"tok{i:03d}" for i in range(200))
+
+    def turns(ids):
+        return pa.table({
+            "conv_id": pa.array([i for i in ids for _ in range(2)],
+                                type=pa.string()),
+            "turn_idx": pa.array([0, 1] * len(ids), type=pa.int32()),
+            "role": pa.array(["user", "assistant"] * len(ids),
+                             type=pa.string()),
+            "text": pa.array([text, text + " tail"] * len(ids),
+                             type=pa.string()),
+            "tool": pa.array([None] * (2 * len(ids)), type=pa.string()),
+            "ts": pa.array(np.full(2 * len(ids), 1_700_000_000_000_000,
+                                   dtype=np.int64),
+                           type=pa.timestamp("us")),
+        })
+
+    m = match_query_vs_index(
+        ray.data.from_arrow(turns(["q1", "q2"])),
+        ray.data.from_arrow(turns(["i1", "i2"])), cfg).to_pandas()
+    got = set(zip(m[m["verified"]]["query_id"],
+                  m[m["verified"]]["index_id"]))
+    assert {("q1", "i1"), ("q1", "i2"),
+            ("q2", "i1"), ("q2", "i2")} <= got, got
+
+
 def test_incremental_attaches_to_existing(cfg):
     turns, _ = synth_transcripts(100, 77)
     base = ray.data.from_arrow(turns)

@@ -33,6 +33,32 @@ def test_simhash_similar_docs_close():
     assert d_diff - d_sim >= 6
 
 
+def test_simhash_blocking_radius_guarantee(cfg):
+    """r4 review: the block count must be DERIVED from max_hamming
+    (pigeonhole needs d+1 blocks). The old fixed 4x16 split silently
+    missed this pair: 4 differing bits, one per 16-bit block, hamming
+    4 <= 6 yet no shared 16-bit block."""
+    s0 = np.uint64(0x0123456789ABCDEF)
+    s1 = s0 ^ ((np.uint64(1) << np.uint64(3))
+               | (np.uint64(1) << np.uint64(19))
+               | (np.uint64(1) << np.uint64(35))
+               | (np.uint64(1) << np.uint64(51)))
+    assert hamming64(np.array([s0]), np.array([s1]))[0] == 4
+    simmed = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["a", "b"], type=pa.string()),
+        "simhash": pa.array([s0, s1], type=pa.uint64()),
+    }))
+    pairs = simhash_candidates(simmed, cfg, max_hamming=6).to_pandas()
+    assert ("a", "b") in set(zip(pairs["a"], pairs["b"]))
+    # and the exact filter still rejects far pairs
+    far = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["a", "b"], type=pa.string()),
+        "simhash": pa.array([s0, ~s0], type=pa.uint64()),
+    }))
+    pairs = simhash_candidates(far, cfg, max_hamming=6).to_pandas()
+    assert len(pairs) == 0
+
+
 def test_simhash_candidates_find_exactish(cfg):
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
