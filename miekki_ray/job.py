@@ -4,8 +4,15 @@
 Ray cluster". On a cluster:
 
     ray job submit --working-dir . -- \\
-        python -m miekki_ray.job --turns s3://bucket/turns/ \\
-        --out s3://bucket/dedup-run-1/ --num-partitions 512
+        python -m miekki_ray.job --turns /mnt/shared/turns/ \\
+        --out /mnt/shared/dedup-run-1/ --num-partitions 512
+
+(--turns/--out must be filesystem paths visible to the head node — a
+shared mount on multi-node clusters. Object-store URIs are rejected by
+the checkpoint layer: its clearing/lineage/atomic-rename machinery is
+os.*-based, and silently no-opping against s3:// would duplicate rows
+on resume. The final keep_list below IS URI-capable — it replaces its
+directory through pyarrow.fs.)
 
 Single node (this sandbox):
 
@@ -98,7 +105,10 @@ def main(argv: list[str] | None = None) -> int:
 
     res = run_dedup(args.turns, cfg, out_dir=args.out)
     n_clusters = res.clusters.count()
-    keep = keep_list(res)
+    # materialize once: the keep_list filter lineage would otherwise
+    # execute twice — inside write_parquet and again for the summary
+    # count (filter-derived datasets get no metadata-only count)
+    keep = keep_list(res).materialize()
     # Ray's write_parquet APPENDS uuid-named files to an existing dir; on
     # re-submit (the resume flow) that would double every keep row. The
     # keep_list is a final output, not a checkpoint — replace it wholesale

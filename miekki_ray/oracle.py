@@ -27,7 +27,11 @@ def reconstruct_docs_pandas(turns: pa.Table, role_sep: str = "\x1f",
     df = turns.select(["conv_id", "turn_idx", "role", "text"]).to_pandas()
     df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     df["piece"] = df["role"].str[:1] + role_sep + df["text"]
-    docs = df.groupby("conv_id", sort=True)["piece"].agg(turn_sep.join)
+    # null turn text -> null piece -> null DOC, mirroring the engine's
+    # Arrow kernels (binary_join emit_null propagation in stages/docs.py);
+    # a per-group lambda is fine at oracle scope
+    docs = df.groupby("conv_id", sort=True)["piece"].agg(
+        lambda s: None if s.isna().any() else turn_sep.join(s))
     return docs.reset_index().rename(columns={"piece": "doc"})
 
 
@@ -45,8 +49,13 @@ def exact_pairs(turns: pa.Table, k: int, role_sep: str = "\x1f",
     yields all its pairs at J=1.0, not zero. The returned J values are
     exact for every pair with nonzero intersection."""
     docs = reconstruct_docs_pandas(turns, role_sep, turn_sep)
+    if len(docs) == 0:   # empty corpus: np.concatenate([]) would raise
+        return pd.DataFrame(columns=["a", "b", "jaccard", "containment"])
     ids = docs["conv_id"].to_numpy()
-    sets = [shingle_hashes(d.encode("utf-8"), k) for d in docs["doc"]]
+    # null docs shingle as empty bytes — the engine's shingle kernel
+    # treats a null doc the same way
+    sets = [shingle_hashes((d or "").encode("utf-8"), k)
+            for d in docs["doc"]]
     sizes = np.array([s.size for s in sets], dtype=np.int64)
 
     # inverted index: shingle hash -> sorted doc indices sharing it

@@ -22,8 +22,27 @@ import ray.data
 from miekki_ray.sources.transcripts import strip_schema_metadata
 
 
+def _replace_dir(out_dir: str) -> None:
+    """Replace-wholesale discipline for the simple sinks: Ray's write_*
+    APPENDS uuid-named files to an existing directory, so a crashed-then-
+    retried write would duplicate every row on read (r4 review — the same
+    hazard job.py documents for its keep_list output). Deleting the dir
+    first makes a re-run idempotent; works for URIs via pyarrow.fs."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    fsys, p = (pafs.FileSystem.from_uri(out_dir) if "://" in out_dir
+               else (pafs.LocalFileSystem(), os.path.abspath(out_dir)))
+    if fsys.get_file_info(p).type != pafs.FileType.NotFound:
+        fsys.delete_dir(p)
+
+
 def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
-    """Partitioned JSONL sink (one file per block — resumable layout)."""
+    """Partitioned JSONL sink (one file per block), replace-wholesale —
+    re-running after a crash rewrites the directory instead of appending
+    duplicate part files."""
+    _replace_dir(out_dir)
     ds.write_json(out_dir)
 
 
@@ -32,6 +51,8 @@ def read_jsonl(path: str) -> ray.data.Dataset:
 
 
 def write_csv(ds: ray.data.Dataset, out_dir: str) -> None:
+    """Partitioned CSV sink, replace-wholesale (see write_jsonl)."""
+    _replace_dir(out_dir)
     ds.write_csv(out_dir)
 
 
@@ -91,9 +112,13 @@ def write_ipc(ds: ray.data.Dataset, out_dir: str):
                          "rows": pa.array([batch.num_rows],
                                           type=pa.int64())})
 
-    # consuming the block-sized manifest drives the distributed write
+    # consuming the block-sized manifest drives the distributed write;
+    # batch_size=None = one dump call per BLOCK (the documented one-file-
+    # per-block layout — the default 1024-row batching would explode a
+    # 10M-row dataset into ~10k tiny files and read tasks, r4 review)
     out = (ds.map_batches(dump, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas())
+                          zero_copy_batch=True, batch_size=None)
+           .to_pandas())
     if "path" not in out.columns:
         # an input with zero blocks maps to a DataFrame without the dump
         # UDF's columns (ADVICE r3: reproduced KeyError) — normalize to

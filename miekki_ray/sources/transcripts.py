@@ -64,14 +64,20 @@ def clean_read_schema(path: str | list[str],
             return schema
         return pa.schema([schema.field(c) for c in columns])
 
-    p = path[0] if isinstance(path, list) else path
-    rest: list[str] = []
-    if os.path.isdir(p):
-        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
-        if not files:
-            return None
-        rest = [os.path.join(p, f) for f in files[1:]]
-        p = os.path.join(p, files[0])
+    # expand EVERY input (a list element may itself be a dir) — checking
+    # only path[0] of a list would silently skip the drift check for the
+    # remaining files (r4 review)
+    all_files: list[str] = []
+    for entry in (path if isinstance(path, list) else [path]):
+        if os.path.isdir(entry):
+            all_files += [os.path.join(entry, f)
+                          for f in sorted(os.listdir(entry))
+                          if f.endswith(".parquet")]
+        else:
+            all_files.append(entry)
+    if not all_files:
+        return None
+    p, rest = all_files[0], all_files[1:]
     try:
         out = _project(pq.read_schema(p).with_metadata(None))
     except Exception:

@@ -27,6 +27,23 @@ import ray.data
 MANIFEST_NAME = "_MANIFEST.json"
 
 
+def require_local_path(path, what: str) -> None:
+    """The checkpoint/lineage machinery is LOCAL-FILESYSTEM only: clearing,
+    listing, fingerprinting and the atomic manifest rename all go through
+    os.*. A URI (s3://...) out_dir would let write_parquet target object
+    storage while this module silently operates on a literal local
+    './s3:/...' directory — no clearing (duplicate rows on resume), empty
+    per-partition lineage, and a constant input fingerprint that validates
+    stale corpora (r4 review). Fail loudly instead; multi-node runs need a
+    shared mount (NFS/FUSE) until a pyarrow.fs port of this module exists."""
+    if "://" in str(path):
+        raise ValueError(
+            f"{what} {path!r} is a URI: stage checkpointing requires a "
+            "local (or shared-mount) filesystem path — the manifest "
+            "machinery uses os.* listing, clearing and atomic renames, "
+            "which silently no-op against object storage")
+
+
 def stage_metrics(stage_dir: str) -> dict:
     """The 'metrics' block of a stage manifest ({} if absent/unreadable)
     — how a RESUMED run recovers the counters its skipped stage recorded
@@ -59,6 +76,7 @@ def input_fingerprint(paths) -> str:
         paths = [paths]
     entries = []
     for p in paths:
+        require_local_path(p, "input path")
         if os.path.isdir(p):
             # recursive: hive/date-partitioned layouts keep their files in
             # subdirectories — a top-level-only listing would fingerprint
@@ -144,6 +162,7 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
     Returns the stage directory. ``metrics`` may be a dict or a CALLABLE
     invoked after the data write — stage counters (MetricsSink) only
     exist once execution has run, which happens inside write_parquet."""
+    require_local_path(out_dir, "checkpoint out_dir")
     stage_dir = os.path.join(out_dir, stage)
     os.makedirs(stage_dir, exist_ok=True)
     # clear any previous attempt's data AND manifest AND orphaned manifest
@@ -205,6 +224,7 @@ class StageRunner:
     stage is SKIPPED and its parquet read back (SURVEY.md §3.3)."""
 
     def __init__(self, out_dir: str, config_hash: str):
+        require_local_path(out_dir, "checkpoint out_dir")
         self.out_dir = out_dir
         self.config_hash = config_hash
         self.ran: list[str] = []

@@ -21,8 +21,18 @@ import ray
 class MetricsActor:
     def __init__(self) -> None:
         self.counters: dict[str, float] = {}
+        self._seen: set[str] = set()
 
-    def add(self, kv: dict[str, float]) -> None:
+    def add(self, kv: dict[str, float], token: str | None = None) -> None:
+        # idempotence under Ray task retry (r4 review): a re-executed task
+        # (worker loss, lineage reconstruction) re-emits the same counters
+        # with the SAME task id — exactly the failure-resume runs these
+        # counters exist to audit would otherwise double-count. The token
+        # is (task_id, key-set); emit is called once per task per key-set.
+        if token is not None:
+            if token in self._seen:
+                return
+            self._seen.add(token)
         for k, v in kv.items():
             self.counters[k] = self.counters.get(k, 0) + v
 
@@ -55,8 +65,12 @@ def emit(metrics_name: str | None, kv: dict[str, float]) -> None:
     if not metrics_name or not kv:
         return
     try:
+        token = None
+        tid = ray.get_runtime_context().get_task_id()
+        if tid:   # None on the driver, where tasks are never retried
+            token = f"{tid}:{'|'.join(sorted(kv))}"
         actor = ray.get_actor(metrics_name)
-        ray.get(actor.add.remote(kv))
+        ray.get(actor.add.remote(kv, token))
     except (ValueError, ray.exceptions.RayActorError):
         # sink already closed (stage re-executed after collect, or a
         # task retry racing ray.kill): a dropped late counter is the

@@ -221,3 +221,27 @@ def test_oracle_256_shingle_mega_duplicate_not_dropped():
     assert (pairs["jaccard"] == 1.0).all()
     _, clusters = oracle_truth(turns, k=12, jaccard_threshold=0.8)
     assert clusters["cluster_id"].nunique() == 1
+
+
+def test_oracle_empty_and_null_text():
+    """r4 review: the oracle must handle an empty corpus (np.concatenate
+    of zero sets) and null turn text (null doc, mirroring the engine's
+    binary_join emit_null) without crashing."""
+    from miekki_ray.oracle import exact_pairs, reconstruct_docs_pandas
+
+    empty = _turns([])
+    out = exact_pairs(empty, k=12)
+    assert len(out) == 0
+    assert list(out.columns) == ["a", "b", "jaccard", "containment"]
+
+    rows = _turns([("c1", 0, "hello world of text"),
+                   ("c2", 0, "hello world of text")])
+    nulled = rows.set_column(
+        rows.schema.get_field_index("text"), "text",
+        pa.array(["hello world of text", None], type=pa.string()))
+    docs = reconstruct_docs_pandas(nulled)
+    assert docs.set_index("conv_id")["doc"]["c2"] is None
+    pairs = exact_pairs(nulled, k=4)   # must not crash on the null doc
+    # a null doc has an empty-bytes shingle set: zero intersection with
+    # any real doc, so it never pairs
+    assert ("c1", "c2") not in set(zip(pairs["a"], pairs["b"]))

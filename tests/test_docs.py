@@ -117,3 +117,31 @@ def test_fnv1a_arrow_kernel_parity():
         assert np.array_equal(_fnv1a_batch(ids[5:90], 64),
                               _fnv1a_from_arrow(col.slice(5, 85), 64))
     assert _fnv1a_from_arrow(pa.array([], type=pa.string()), 64).size == 0
+
+
+def test_clean_read_schema_checks_list_inputs(tmp_path):
+    """r4 review: the drift check must cover EVERY file of a list input,
+    not just path[0]."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from miekki_ray.sources.transcripts import (TURN_COLUMNS,
+                                                clean_read_schema)
+
+    def table(idx_type):
+        return pa.table({
+            "conv_id": pa.array(["c0"], type=pa.string()),
+            "turn_idx": pa.array([0], type=idx_type),
+            "role": pa.array(["user"], type=pa.string()),
+            "text": pa.array(["hello"], type=pa.string()),
+            "tool": pa.array([None], type=pa.string()),
+            "ts": pa.array([1_700_000_000_000_000],
+                           type=pa.timestamp("us")),
+        })
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(table(pa.int32()), a)
+    pq.write_table(table(pa.int64()), b)
+    with pytest.raises(ValueError, match="b.parquet"):
+        clean_read_schema([a, b], TURN_COLUMNS)

@@ -240,3 +240,40 @@ def test_ckpt_path_scale_switches_identical(small_corpus, tmp_path):
     va = a.verified.to_pandas().sort_values(key).reset_index(drop=True)
     vb = b.verified.to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(va, vb)
+
+
+def test_uri_out_dir_rejected(tmp_path):
+    """r4 review: the manifest machinery is os.*-based — a URI out_dir
+    would write data to object storage while clearing/lineage silently
+    no-op locally (duplicate rows on resume). Must fail loudly."""
+    import pytest
+    import ray.data
+
+    from miekki_ray.state.manifest import (StageRunner, input_fingerprint,
+                                           write_stage)
+
+    ds = ray.data.range(3)
+    with pytest.raises(ValueError, match="URI"):
+        write_stage(ds, "s3://bucket/run1", "docs", "cfg")
+    with pytest.raises(ValueError, match="URI"):
+        StageRunner("s3://bucket/run1", "cfg")
+    with pytest.raises(ValueError, match="URI"):
+        input_fingerprint("s3://bucket/turns/")
+
+
+def test_metrics_add_idempotent_under_retry_token():
+    """r4 review: a retried task re-emits its counters with the same task
+    id — the actor must apply each (task, key-set) token once."""
+    import ray
+
+    from miekki_ray.state.metrics import MetricsSink
+
+    sink = MetricsSink()
+    try:
+        ray.get(sink.actor.add.remote({"pairs": 5.0}, "task1:pairs"))
+        ray.get(sink.actor.add.remote({"pairs": 5.0}, "task1:pairs"))
+        ray.get(sink.actor.add.remote({"pairs": 2.0}, "task2:pairs"))
+        ray.get(sink.actor.add.remote({"pairs": 1.0}, None))  # driver-side
+        assert sink.collect() == {"pairs": 8.0}
+    finally:
+        sink.close()

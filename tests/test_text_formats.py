@@ -5,8 +5,9 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from miekki_ray.sources.text_formats import (read_csv, read_jsonl,
-                                             write_csv, write_jsonl)
+from miekki_ray.sources.text_formats import (read_csv, read_ipc,
+                                             read_jsonl, write_csv,
+                                             write_ipc, write_jsonl)
 
 
 def _tricky_df():
@@ -154,3 +155,30 @@ def test_ipc_zero_block_input(tmp_path):
     m = write_ipc(ds, out)
     assert len(m) == 0
     assert read_ipc(out).count() == 0
+
+
+def test_jsonl_csv_rerun_idempotent(tmp_path):
+    """r4 review: Ray's write_* APPENDS uuid files to an existing dir —
+    a crashed-then-retried sink write must not duplicate rows on read."""
+    df = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                       "text": [f"t{i}" for i in range(10)]})
+    out = str(tmp_path / "jsonl")
+    write_jsonl(ray.data.from_pandas(df).repartition(2), out)
+    write_jsonl(ray.data.from_pandas(df).repartition(2), out)  # retry
+    assert len(read_jsonl(out).to_pandas()) == 10
+    outc = str(tmp_path / "csv")
+    write_csv(ray.data.from_pandas(df).repartition(2), outc)
+    write_csv(ray.data.from_pandas(df).repartition(2), outc)
+    assert len(read_csv(outc, {"id": pa.int64(),
+                               "text": pa.string()}).to_pandas()) == 10
+
+
+def test_ipc_one_file_per_block(tmp_path):
+    """r4 review: the documented layout is one .arrow file per BLOCK —
+    the default 1024-row map_batches batching would shard a 3-block
+    dataset into dozens of tiny files."""
+    df = pd.DataFrame({"id": np.arange(9000, dtype=np.int64)})
+    out = str(tmp_path / "ipc")
+    manifest = write_ipc(ray.data.from_pandas(df).repartition(3), out)
+    assert len(manifest) == 3, manifest
+    assert read_ipc(out).count() == 9000
