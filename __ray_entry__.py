@@ -1539,10 +1539,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ASCII whitespace pinned on BOTH sides (Python kernel strips/counts
         # the same explicit class) — RE2 \s is ASCII but trim() is
-        # space-only, so both are spelled out
+        # space-only, so both are spelled out. NULL text is stated as 0
+        # tokens explicitly (the kernel must emit a NUMBER for the pack
+        # prefix sums; without the IS NULL arm the CASE falls through to
+        # len(NULL) = NULL, r4 review)
         "doc_token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                   CASE WHEN text IS NULL
+                          OR trim(text, ' ' || chr(9) || chr(10) || chr(13)
                                  || chr(12) || chr(11)) = '' THEN 0
                         ELSE len(string_split_regex(
                                  trim(text, ' ' || chr(9) || chr(10)
@@ -2063,7 +2067,8 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id) = 1
             ), t AS (
               SELECT doc_id,
-                     CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                     CASE WHEN text IS NULL
+                            OR trim(text, ' ' || chr(9) || chr(10)
                                     || chr(13) || chr(12) || chr(11)) = ''
                           THEN 0
                           ELSE len(string_split_regex(
@@ -2084,7 +2089,8 @@ def oracle_sql() -> dict[str, str]:
         "documents_pack_bins": r"""
             WITH t AS (
               SELECT doc_id,
-                     CASE WHEN trim(text, ' ' || chr(9) || chr(10)
+                     CASE WHEN text IS NULL
+                            OR trim(text, ' ' || chr(9) || chr(10)
                                     || chr(13) || chr(12) || chr(11)) = ''
                           THEN 0
                           ELSE len(string_split_regex(

@@ -18,7 +18,10 @@ import re
 import numpy as np
 import pandas as pd
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")
+# explicit ASCII whitespace in the negated class — Python's \s is
+# Unicode-aware (NBSP etc.) and would diverge from any RE2 restatement
+# of this pattern (module-docstring contract, r4 review)
+_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^ \t\n\r\f\vA-Za-z0-9]")
 # ASCII whitespace only (see module docstring / oracle pairing)
 _ASCII_WS = " \t\n\r\f\v"
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")

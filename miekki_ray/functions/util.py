@@ -43,6 +43,24 @@ def add_str_part(col: str, P: int):
     return f
 
 
+def series_hash128(s: pd.Series, key_prefix: str
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """THE 128-bit content-key convention — two independently-keyed
+    pandas siphash streams over the same values, uint64 viewed as int64
+    (Ray groupby keys must not be uint64) — in one place:
+    relational._text_hash128 and scrub.dup_ngram_stats carried drifting
+    copies of this dance (r4 review). ``key_prefix`` namespaces the two
+    16-byte hash keys ('<prefix>1-000000' / '<prefix>2-000000') so
+    different operators keep their historical key streams. Returns
+    (h1, h2) int64 arrays; collision odds ~2^-128-scale."""
+    k1, k2 = f"{key_prefix}1-000000", f"{key_prefix}2-000000"
+    assert len(k1) == 16, key_prefix   # pandas requires a 16-byte key
+    h1 = pd.util.hash_pandas_object(s, index=False, hash_key=k1)
+    h2 = pd.util.hash_pandas_object(s, index=False, hash_key=k2)
+    return (h1.to_numpy(dtype=np.uint64).view(np.int64),
+            h2.to_numpy(dtype=np.uint64).view(np.int64))
+
+
 _PD_INT = {
     pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
     pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),

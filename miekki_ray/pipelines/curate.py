@@ -29,22 +29,33 @@ import ray.data
 def quality_filter(docs: ray.data.Dataset, *, min_words: int = 40,
                    min_alpha_ratio: float = 0.8) -> ray.data.Dataset:
     """Score + threshold in one stateless pass. Emits (doc_id, text,
-    n_chars, n_words, alpha_ratio) for survivors."""
-    from miekki_ray.functions.textstats import quality_scores
+    n_chars, n_words, alpha_ratio) for survivors.
 
+    NARROW kernel, not the full quality_scores: this filter runs over
+    100% of input bytes BEFORE any pruning (its whole point), and it
+    reads only 3 of quality_scores' 7 outputs — the stopword explode +
+    groupby passes and the punct/upper regex scans it would pay for are
+    pure waste on the hot path (r4 review). The three columns are
+    computed with the IDENTICAL definitions (pinned equal to
+    quality_scores by pytest), so the DuckDB oracle is unchanged."""
+    from miekki_ray.functions.textstats import (_WORD_RE,
+                                                round_half_away)
     from miekki_ray.functions.util import pa_from_pandas
 
     def score(batch: pd.DataFrame) -> pa.Table:
-        q = quality_scores(batch["text"])
+        t = batch["text"].fillna("")
+        n_chars = t.str.len().to_numpy(dtype=np.int64)
+        n_words = t.str.count(_WORD_RE).to_numpy(dtype=np.int64)
+        n_alpha = t.str.count(r"[A-Za-z]").to_numpy(dtype=np.int64)
+        alpha_ratio = round_half_away(n_alpha / np.maximum(n_chars, 1))
         out = pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
             "text": batch["text"],
-            "n_chars": q["n_chars"],
-            "n_words": q["n_words"],
-            "alpha_ratio": q["alpha_ratio"],
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "alpha_ratio": alpha_ratio,
         })
-        keep = (out["n_words"].to_numpy() >= min_words) & \
-               (out["alpha_ratio"].to_numpy() >= min_alpha_ratio)
+        keep = (n_words >= min_words) & (alpha_ratio >= min_alpha_ratio)
         # clean Arrow out: pandas-backed blocks defeat the downstream
         # shuffle's schema-dedup (see util.pa_from_pandas). An ALL-
         # filtered batch must keep its types: from_pandas infers

@@ -338,21 +338,15 @@ def documents_exact_keep_first(sf_dir: str):
 
 
 def _text_hash128(batch: pa.Table, col: str = "text") -> pa.Table:
-    """Append a 128-bit content key (two independently-seeded 64-bit
-    hashes) so downstream joins/groupbys ship 16 bytes instead of the
-    document text. Collision probability ~2^-128-scale — safe at any
-    corpus size the spec envelope names."""
-    t = batch[col].to_pandas().astype(str)
-    h1 = pd.util.hash_pandas_object(t, index=False,
-                                    hash_key="miekki-h1-000000")
-    h2 = pd.util.hash_pandas_object(t, index=False,
-                                    hash_key="miekki-h2-000000")
-    out = batch.append_column(
-        "_h1", pa.array(h1.to_numpy(dtype=np.uint64).view(np.int64),
-                        type=pa.int64()))
-    return out.append_column(
-        "_h2", pa.array(h2.to_numpy(dtype=np.uint64).view(np.int64),
-                        type=pa.int64()))
+    """Append a 128-bit content key (util.series_hash128) so downstream
+    joins/groupbys ship 16 bytes instead of the document text. Collision
+    probability ~2^-128-scale — safe at any corpus size the spec
+    envelope names."""
+    from miekki_ray.functions.util import series_hash128
+
+    h1, h2 = series_hash128(batch[col].to_pandas().astype(str), "miekki-h")
+    out = batch.append_column("_h1", pa.array(h1, type=pa.int64()))
+    return out.append_column("_h2", pa.array(h2, type=pa.int64()))
 
 
 def documents_dup_clusters(sf_dir: str, num_partitions: int = 8):

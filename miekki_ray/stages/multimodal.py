@@ -57,8 +57,10 @@ class MediaDecoder:
         self.has_pillow = _try_import_pillow()
 
     def _decode_stub(self, payload: bytes) -> np.ndarray:
-        digest = hashlib.blake2b(payload + self.seed.to_bytes(8, "little"),
-                                 digest_size=8).digest()
+        # signed=True: a negative seed would raise OverflowError on the
+        # unsigned conversion (identical bytes for the non-negative range)
+        digest = hashlib.blake2b(payload + self.seed.to_bytes(
+            8, "little", signed=True), digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(digest, "little"))
         return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
@@ -114,15 +116,18 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
-        metas = [json.loads(m) if m else {} for m in
-                 batch["meta"].to_pylist()]
+        raw_metas = batch["meta"].to_pylist()
         payloads = batch["payload"].to_pylist()
         out_payload, out_meta = [], []
-        for kind, meta, p in zip(kinds, metas, payloads):
+        for kind, raw_meta, p in zip(kinds, raw_metas, payloads):
             if kind != "image" or p is None:
+                # true pass-through: the ORIGINAL meta string, unchanged —
+                # a json round-trip here rewrote separator bytes and
+                # turned null meta into "{}" (r4 review)
                 out_payload.append(p)
-                out_meta.append(json.dumps(meta))
+                out_meta.append(raw_meta)
                 continue
+            meta = json.loads(raw_meta) if raw_meta else {}
             # stub transform: scale payload length by target/source area
             src_area = max(1, meta.get("width", 1) * meta.get("height", 1))
             ratio = (self.w * self.h) / src_area

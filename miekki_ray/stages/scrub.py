@@ -121,24 +121,28 @@ def decontaminate(candidates: ray.data.Dataset, bench: ray.data.Dataset,
         gset.update(b["gram"])
     ref = ray.put(frozenset(gset))
 
-    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+    def flag(batch: pa.Table) -> pa.Table:
         grams_set = _cached_grams(ref)
-        idx, grams = _batch_grams(batch[text_col], n_words)
-        contaminated = np.zeros(len(batch), dtype=bool)
+        idx, grams = _batch_grams(batch[text_col].to_pandas(), n_words)
+        contaminated = np.zeros(batch.num_rows, dtype=bool)
         if len(grams):
             hit = pd.Series(grams).isin(grams_set).to_numpy()
             contaminated[np.unique(idx[hit])] = True
         if emit == "clean":
-            # reset_index: downstream batch kernels assume the pandas-
-            # block RangeIndex contract (a filtered index misaligns any
-            # kernel that mixes batch Series with fresh numpy arrays)
-            return batch.iloc[~contaminated].reset_index(drop=True)
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy(),
-            "contaminated": contaminated,
+            # Arrow filter, NOT a pandas .iloc: an ALL-contaminated batch
+            # filtered in pandas comes back as an empty object-dtype
+            # frame whose Arrow schema infers text:null — schema drift in
+            # the checkpointed 'clean' stage (r4 review). Arrow keeps the
+            # typed schema for empty results, and typed Arrow returns
+            # preserve the shuffle schema-dedup fast path.
+            return batch.filter(pa.array(~contaminated))
+        return pa.table({
+            id_col: batch[id_col],
+            "contaminated": pa.array(contaminated, type=pa.bool_()),
         })
 
-    return candidates.map_batches(flag, batch_format="pandas")
+    return candidates.map_batches(flag, batch_format="pyarrow",
+                                  zero_copy_batch=True)
 
 
 def dup_ngram_stats(docs: ray.data.Dataset, *, n_words: int = 8,
@@ -184,17 +188,13 @@ def dup_ngram_stats(docs: ray.data.Dataset, *, n_words: int = 8,
                 id_col: pa.array(ids[:0], type=batch[id_col].type),
             })
         per = pd.DataFrame({"r": idx, "gram": grams}).drop_duplicates()
-        g = per["gram"].astype(str)
-        h1 = pd.util.hash_pandas_object(
-            g, index=False, hash_key="miekki-g1-000000")
-        h2 = pd.util.hash_pandas_object(
-            g, index=False, hash_key="miekki-g2-000000")
-        # int64 view: uint64 keys fall back to object blocks in groupbys
+        # shared 128-bit key convention (util.series_hash128; the
+        # 'miekki-g' prefix keeps this operator's historical key stream)
+        from miekki_ray.functions.util import series_hash128
+        h1, h2 = series_hash128(per["gram"].astype(str), "miekki-g")
         return pa.table({
-            "_h1": pa.array(h1.to_numpy(dtype=np.uint64).view(np.int64),
-                            type=pa.int64()),
-            "_h2": pa.array(h2.to_numpy(dtype=np.uint64).view(np.int64),
-                            type=pa.int64()),
+            "_h1": pa.array(h1, type=pa.int64()),
+            "_h2": pa.array(h2, type=pa.int64()),
             id_col: pa.array(ids[per["r"].to_numpy()]),
         })
 

@@ -222,9 +222,12 @@ def test_resize_and_frame_sample_plumbing(ray_session):
     for m in imgs["meta"]:
         d = json.loads(m)
         assert (d["width"], d["height"]) == (128, 128)
+    # pass-through rows keep their ORIGINAL meta string byte-exact
+    # (r4 review: a json round-trip rewrote separators and nulled-in "{}")
+    orig = media.to_pandas().set_index("media_id")["meta"]
     others = resized[resized["kind"] != "image"]
-    for m in others["meta"]:
-        assert json.loads(m)["width"] != 128 or True  # untouched meta parses
+    for mid, m in zip(others["media_id"], others["meta"]):
+        assert m == orig[mid], (mid, m, orig[mid])
 
     frames = sample_frames(media).to_pandas()
     vids = media.to_pandas()
