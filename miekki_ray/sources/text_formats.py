@@ -22,38 +22,63 @@ import ray.data
 from miekki_ray.sources.transcripts import strip_schema_metadata
 
 
-def _replace_dir(out_dir: str) -> None:
-    """Replace-wholesale discipline for the simple sinks: Ray's write_*
-    APPENDS uuid-named files to an existing directory, so a crashed-then-
-    retried write would duplicate every row on read (r4 review — the same
-    hazard job.py documents for its keep_list output). Deleting the dir
-    first makes a re-run idempotent; works for URIs via pyarrow.fs."""
+SINK_MARKER = "_MIEKKI_SINK"
+
+
+def _replace_write(out_dir: str, write_fn) -> None:
+    """Crash-safe replace-wholesale discipline for the simple sinks.
+    Ray's write_* APPENDS uuid-named files to an existing directory, so a
+    crashed-then-retried write would duplicate every row on read; the r4
+    version deleted the directory FIRST, which (a) destroyed the previous
+    good output if the run crashed between delete and write, and (b)
+    would wipe an unrelated directory on a mistyped out_dir (ADVICE r4).
+    Now: write into a unique temp SIBLING, drop a marker file, then swap
+    via rename — the previous output survives every crash window (worst
+    case it is parked at ``<out>.old-*``, never destroyed mid-write), and
+    a non-empty existing directory WITHOUT the marker (i.e. not produced
+    by these sinks) raises instead of being replaced."""
     import os
+    import shutil
+    import uuid
 
-    from pyarrow import fs as pafs
-
-    fsys, p = (pafs.FileSystem.from_uri(out_dir) if "://" in out_dir
-               else (pafs.LocalFileSystem(), os.path.abspath(out_dir)))
-    if fsys.get_file_info(p).type != pafs.FileType.NotFound:
-        fsys.delete_dir(p)
+    out = os.path.abspath(out_dir)
+    if os.path.isdir(out) and os.listdir(out) and \
+            not os.path.exists(os.path.join(out, SINK_MARKER)):
+        raise ValueError(
+            f"refusing to replace {out}: directory is non-empty and was "
+            f"not written by this sink (no {SINK_MARKER} marker) — "
+            "pass a fresh out_dir or remove it explicitly")
+    nonce = uuid.uuid4().hex
+    tmp = f"{out}.tmp-{nonce}"
+    write_fn(tmp)
+    with open(os.path.join(tmp, SINK_MARKER), "w") as f:
+        f.write("")
+    old = None
+    if os.path.exists(out):
+        old = f"{out}.old-{nonce}"
+        os.rename(out, old)
+    os.rename(tmp, out)                    # publish: atomic on one fs
+    if old is not None:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
     """Partitioned JSONL sink (one file per block), replace-wholesale —
     re-running after a crash rewrites the directory instead of appending
-    duplicate part files."""
-    _replace_dir(out_dir)
-    ds.write_json(out_dir)
+    duplicate part files; the swap is atomic (see _replace_write)."""
+    _replace_write(out_dir, ds.write_json)
 
 
 def read_jsonl(path: str) -> ray.data.Dataset:
-    return strip_schema_metadata(ray.data.read_json(path))
+    # extension pin also skips the sink's _MIEKKI_SINK marker file, which
+    # would otherwise parse as an empty schema-less block
+    return strip_schema_metadata(
+        ray.data.read_json(path, file_extensions=["json", "jsonl"]))
 
 
 def write_csv(ds: ray.data.Dataset, out_dir: str) -> None:
     """Partitioned CSV sink, replace-wholesale (see write_jsonl)."""
-    _replace_dir(out_dir)
-    ds.write_csv(out_dir)
+    _replace_write(out_dir, ds.write_csv)
 
 
 def read_csv(path: str, column_types: dict[str, pa.DataType] | None = None
@@ -66,7 +91,9 @@ def read_csv(path: str, column_types: dict[str, pa.DataType] | None = None
     if column_types:
         kwargs["convert_options"] = pacsv.ConvertOptions(
             column_types=column_types)
-    return strip_schema_metadata(ray.data.read_csv(path, **kwargs))
+    # extension pin: see read_jsonl (skips the sink marker file)
+    return strip_schema_metadata(
+        ray.data.read_csv(path, file_extensions=["csv"], **kwargs))
 
 
 IPC_MANIFEST = "_MANIFEST.json"

@@ -232,8 +232,16 @@ def _emit_pairs_partition(cfg: DedupConfig, metrics_name: str | None = None):
             out_b.append(members[jj])
         if n_capped_buckets:
             from miekki_ray.state.metrics import emit as memit
+            # one emit per GROUP but Ray runs many groups per task: the
+            # group key (_part) is the retry-stable per-call discriminator
+            # (ADVICE r4 — without it all but the first group's counters
+            # in a task were dropped as presumed retries)
+            part = (str(group["_part"].iat[0])
+                    if "_part" in group.columns and len(group)
+                    else str(int(keys[0])))
             memit(metrics_name, {"pairs_capped_buckets": n_capped_buckets,
-                                 "pairs_dropped_by_cap": n_pairs_dropped})
+                                 "pairs_dropped_by_cap": n_pairs_dropped},
+                  token_suffix=part)
         if not out_a:
             return pa.table({"a": pa.array([], type=pa.string()),
                              "b": pa.array([], type=pa.string())})

@@ -112,12 +112,24 @@ def simhash_candidates(simmed: ray.data.Dataset, cfg: DedupConfig,
     within Hamming distance d differ in ≤ d blocks, so with d+1 blocks at
     least one block is shared (the fixed 4×16 split of the first version
     silently missed pairs for any max_hamming > 3). Exact Hamming filter
-    per block group keeps the output radius-exact."""
+    per block group keeps the output radius-exact.
+
+    ``max_hamming`` must be ≤ 63: with only 64 bits there can be at most
+    64 blocks, so at d ≥ 64 the pigeonhole guarantee is unsatisfiable
+    (two signatures differing in all 64 bits share no block yet are
+    within the promised radius) — rejected loudly rather than silently
+    under-recalling (ADVICE r4)."""
     import pandas as pd
 
     from miekki_ray.functions.hashing import splitmix64
 
-    n_blocks = min(max_hamming + 1, 64)
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming={max_hamming} out of range [0, 63]: the "
+            "pigeonhole block guarantee needs d+1 <= 64 blocks over a "
+            "64-bit signature; at d >= 64 every pair is within radius — "
+            "use an all-pairs comparison instead of simhash blocking")
+    n_blocks = max_hamming + 1
     bounds = _block_bounds(n_blocks)
 
     def explode(batch: pa.Table) -> pa.Table:

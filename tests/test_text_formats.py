@@ -182,3 +182,36 @@ def test_ipc_one_file_per_block(tmp_path):
     manifest = write_ipc(ray.data.from_pandas(df).repartition(3), out)
     assert len(manifest) == 3, manifest
     assert read_ipc(out).count() == 9000
+
+
+def test_sink_refuses_unrelated_dir(tmp_path):
+    """ADVICE r4: a mistyped out_dir pointing at data this sink did not
+    write must raise, not be wiped."""
+    import os
+
+    import pytest
+
+    d = tmp_path / "precious"
+    d.mkdir()
+    (d / "data.txt").write_text("keep me")
+    with pytest.raises(ValueError):
+        write_jsonl(ray.data.from_pandas(_tricky_df()), str(d))
+    assert (d / "data.txt").read_text() == "keep me"
+    # no temp siblings left behind by the refused attempt
+    assert not [p for p in os.listdir(tmp_path)
+                if ".tmp-" in p or ".old-" in p]
+
+
+def test_sink_replace_is_swap_not_delete_first(tmp_path):
+    """ADVICE r4: replace must go through a temp sibling + rename so the
+    previous output is never destroyed before the new one exists; marker
+    makes the rewrite legal and no tmp/old residue survives."""
+    import os
+
+    out = str(tmp_path / "j")
+    ds = ray.data.from_pandas(_tricky_df())
+    write_jsonl(ds, out)
+    write_jsonl(ds, out)                 # marker present -> replace allowed
+    assert len(read_jsonl(out).to_pandas()) == 6   # replaced, not appended
+    assert not [p for p in os.listdir(tmp_path)
+                if ".tmp-" in p or ".old-" in p]
