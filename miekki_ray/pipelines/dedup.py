@@ -209,35 +209,39 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     in_fp = root_input_fp(turns_path)
     docs, d_docs = r.run("docs", lambda: reconstruct_docs(turns, cfg),
                          input_fp=in_fp)
-    # exact dedup runs ONCE even though its two outputs checkpoint as
-    # separate stages — both lambdas share the memoized tuple. Same
-    # broadcast↔shuffle auto-switch as dedup_datasets (r4: the ckpt path
-    # used to take the full text-shuffling exact_dedup unconditionally —
-    # 5.1 s of its 31.9 s profile at the bench corpus was this stage;
-    # the slim metadata shuffle + loser-broadcast filter is the measured
-    # winner whenever the loser set fits the broadcast limit):
-    _exact: list = []
-
-    def _exact_once(i: int):
-        if not _exact:
-            from miekki_ray.stages.exact import drop_losers, exact_dedup_slim
-            ex_edges_ds, losers_ds = exact_dedup_slim(docs, cfg)
-            losers = losers_ds.limit(cfg.broadcast_loser_limit + 1) \
-                              .to_pandas()
-            if len(losers) <= cfg.broadcast_loser_limit:
-                uniq_ds = drop_losers(docs, losers) if len(losers) else docs
-                _exact.append((uniq_ds, ex_edges_ds))
-            else:
-                _exact.append(exact_dedup(docs, cfg))
-        return _exact[0][i]
-
-    uniq, d_uniq = r.run(
-        "unique_docs", lambda: _exact_once(0), upstream_dir=d_docs)
-    ex_edges, d_ex = r.run(
-        "exact_edges", lambda: _exact_once(1), upstream_dir=d_docs)
-    bands, d_bands = r.run(
-        "band_rows", lambda: band_explode(sketch_docs(uniq, cfg), cfg),
-        upstream_dir=d_uniq)
+    # ONE slim exact stage (r5, VERDICT r4 Next #1): the persisted output
+    # is (a, b, kind, loser) — edges with the losing conv_id alongside —
+    # instead of re-writing the full doc text as a unique_docs parquet
+    # (3.6 s / 198 MB of the 15.5 s r4 checkpointed wall). The unique set
+    # is DERIVED from the docs checkpoint below with the same
+    # broadcast↔shuffle auto-switch as dedup_datasets.
+    from miekki_ray.stages.exact import drop_losers, exact_state_slim
+    ex_state, d_ex = r.run(
+        "exact", lambda: exact_state_slim(docs, cfg), upstream_dir=d_docs)
+    n_losers = ex_state.count()      # metadata-only on the stage parquet
+    if n_losers == 0:
+        uniq, ex_edges = docs, None  # empty stage parquet has no schema
+    else:
+        ex_edges = ex_state.select_columns(["a", "b", "kind"])
+        if n_losers <= cfg.broadcast_loser_limit:
+            import pandas as pd
+            losers = pd.DataFrame({"conv_id": ex_state.select_columns(
+                ["loser"]).to_pandas()["loser"]})
+            uniq = drop_losers(docs, losers)
+        else:
+            # scale switch (J4): loser set too big to broadcast — full
+            # doc_hash shuffle of the docs checkpoint. Same unique set.
+            uniq, _ = exact_dedup(docs, cfg)
+    # sketch checkpoints SLIM (conv_id, doc_hash, sig, psig — ~1.1 KB/doc,
+    # no text): it is the most compute-heavy per-byte stage, so it earns
+    # durability; band explosion does NOT (recompute-cheap, b× wider —
+    # SURVEY §3.2) and is re-derived inside the pairs stage instead of
+    # being persisted (r4 profile: the band_rows write was 2.3 s).
+    sketched, d_sk = r.run(
+        "sketch",
+        lambda: sketch_docs(uniq, cfg)
+        .select_columns(["conv_id", "doc_hash", "sig", "psig"]),
+        upstream_dir=d_ex)
     # the salted/capped recall accounting flows into the pairs stage
     # MANIFEST (metrics_fn runs after the data write, when the counters
     # exist) — the manifest contract is lineage + METRICS, and a resumed
@@ -246,9 +250,10 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     from miekki_ray.state.metrics import MetricsSink
     sink = MetricsSink()
     pairs, d_pairs = r.run(
-        "pairs", lambda: candidate_pairs(bands, cfg,
-                                         metrics_name=sink.name),
-        upstream_dir=d_bands, metrics_fn=sink.collect)
+        "pairs",
+        lambda: candidate_pairs(band_explode(sketched, cfg), cfg,
+                                metrics_name=sink.name),
+        upstream_dir=d_sk, metrics_fn=sink.collect)
     pair_metrics = stage_metrics(d_pairs)
     pair_metrics.pop("wall_sec", None)   # already under stage_sec below
     sink.close()
@@ -261,16 +266,17 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         # same driver-narrow auto-switch as dedup_datasets (r4: the ckpt
         # path used to run the two distributed hash joins unconditionally
         # — 11.3 s of its 31.9 s profile at the bench corpus was pure
-        # aggregator startup for a 0.4 MB pair table). uniq is the
-        # parquet-backed stage read, so both count() and size_bytes()
-        # in the estimator are metadata-only; pairs reference winners,
-        # all present in uniq. Output identical either way
-        # (tests/test_scale_paths.py pins the kernel equivalence).
+        # aggregator startup for a 0.4 MB pair table). The byte estimate
+        # uses the parquet-backed DOCS stage (count/size_bytes are
+        # metadata-only there; uniq may be a lazy filter of it with the
+        # same average row bytes), and verify_local fetches from docs —
+        # pairs reference winners, all present in docs, and the kernel
+        # is equivalent (tests/test_scale_paths.py pins it).
         if (n_pairs <= cfg.driver_verify_pairs
-                and _est_pair_doc_bytes(uniq, n_pairs)
+                and _est_pair_doc_bytes(docs, n_pairs)
                 <= cfg.driver_verify_bytes):
             from miekki_ray.stages.verify import verify_local
-            return verify_local(pairs, uniq, cfg)
+            return verify_local(pairs, docs, cfg)
         # n_pairs drives attach_docs' adaptive join width — without it the
         # join runs at cfg.num_partitions and small candidate sets leave
         # most join partitions with zero left blocks (verify.py env note:
@@ -280,14 +286,26 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
                             cfg)
 
     verified, d_ver = r.run("verified", _verify, upstream_dir=d_pairs)
-    edges, d_edges = r.run(
-        "edges", lambda: ex_edges.union(edges_from_verified(verified)),
-        upstream_dir=d_ver)
+
+    # edges are NOT persisted as their own stage (r5): both inputs already
+    # are — exact edges in the exact stage, near edges a cheap map over
+    # the verified parquet — so the union stays lazy (the r4 edges stage
+    # was 0.7 s of write + executor startup for 0.3 MB).
+    def _edges_ds() -> ray.data.Dataset:
+        ne = edges_from_verified(verified)
+        return ne if ex_edges is None else ex_edges.union(ne)
+
+    # materialize the (tiny) union once: _cluster_and_assign consumes the
+    # edge list twice (count + collect) and a lazy union would re-execute
+    # both small parquet scans each time
     clusters, _ = r.run(
-        "clusters", lambda: _cluster_and_assign(docs, edges, cfg)[0],
-        upstream_dir=d_edges)
-    res = DedupResult(clusters=clusters, edges=edges, verified=verified,
-                      docs=docs)
+        "clusters",
+        lambda: _cluster_and_assign(docs, _edges_ds().materialize(),
+                                    cfg)[0],
+        upstream_dir=d_ver)
+    res = DedupResult(clusters=clusters, edges=_edges_ds(),
+                      verified=verified, docs=docs,
+                      unique_docs=uniq, sketched=sketched)
     res.metrics = {"ran": r.ran, "skipped": r.skipped,
                    "stage_sec": dict(r.stage_sec), **pair_metrics}
     return res

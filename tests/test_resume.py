@@ -201,8 +201,7 @@ def test_pairs_manifest_carries_metrics(small_corpus, cfg, tmp_path):
     assert counters(r1.metrics) == counters(m)
     assert m["wall_sec"] > 0                      # timing recorded
     assert set(r1.metrics["stage_sec"]) == {
-        "docs", "unique_docs", "exact_edges", "band_rows", "pairs",
-        "verified", "edges", "clusters"}
+        "docs", "exact", "sketch", "pairs", "verified", "clusters"}
     r2 = run_dedup(ds, cfg, out_dir=out)          # full resume
     assert "pairs" in r2.metrics["skipped"]
     assert counters(r2.metrics) == counters(m)
@@ -277,3 +276,26 @@ def test_metrics_add_idempotent_under_retry_token():
         assert sink.collect() == {"pairs": 8.0}
     finally:
         sink.close()
+
+
+def test_resume_pairs_from_persisted_sketch(small_corpus, cfg, tmp_path):
+    """r5: band rows are no longer persisted — a crash in the pairs stage
+    resumes by re-deriving band_explode from the PARQUET-backed sketch
+    stage (sig/psig round-trip through parquet list columns) and the
+    final clusters must be byte-identical."""
+    import pandas as pd
+
+    from miekki_ray.pipelines.dedup import run_dedup
+
+    turns, _ = small_corpus
+    ds = ray.data.from_arrow(turns)
+    out = str(tmp_path / "runp")
+    r1 = run_dedup(ds, cfg, out_dir=out)
+    c1 = r1.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    # simulate crash in the pairs stage: kill its manifest
+    os.unlink(os.path.join(out, "pairs", "_MANIFEST.json"))
+    r2 = run_dedup(ds, cfg, out_dir=out)
+    assert "sketch" in r2.metrics["skipped"]
+    assert "pairs" in r2.metrics["ran"]
+    c2 = r2.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(c1, c2)
