@@ -1078,7 +1078,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_pack_bins": _documents_pack_bins,
         "documents_curated": _documents_curated,
         "documents_curation_e2e": _documents_curation_e2e,
-        "documents_mix_sample": R.documents_mix_sample,
+        # sampling entries pin digest='md5': the oracles state the md5
+        # predicate verbatim. The FUNCTIONS default to the vectorized
+        # splitmix digest (VERDICT r4 Next #3 — per-row md5 off the
+        # production path; tests/test_relational_outer_sample.py pins
+        # the splitmix variants output-stable).
+        "documents_mix_sample":
+            lambda sf: R.documents_mix_sample(sf, digest="md5"),
         "documents_repetition": R.documents_repetition,
         # --- containment / edit-distance / ngram near-dup modalities ---
         "containment_pairs": _containment_pairs,
@@ -1087,15 +1093,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- aggregates / scalar kernels (SQL-oracled) ---
         "events_value_quantiles_approx": _events_value_quantiles_approx,
         "events_corr_by_type": R.events_corr_by_type,
-        "orders_priority_argmax": R.orders_priority_argmax,
+        # --- r5 window rotation (VERDICT r4 Next #2): ann_topk_lsh_filter
+        # and ann_topk_ivf_filter were the only 2 of 98 registry names
+        # without a driver-ever row (their semantics were graded under
+        # the pre-rename names; the registered entries themselves never
+        # were) — rotating them in closes driver-ever coverage at 98/98.
+        # documents_stratified_sample joins because its code changed in
+        # r5 (vectorized-digest twin; the graded md5 path must re-prove
+        # itself). Three double-green r3+r4 entries with r5-untouched
+        # code rotate out (orders_priority_argmax,
+        # events_mode_type_per_user, orders_cube_agg).
+        "ann_topk_lsh_filter": _ann_lsh_filter,
+        "ann_topk_ivf_filter": _ann_ivf_filter,
+        "documents_stratified_sample":
+            lambda sf: R.documents_stratified_sample(sf, digest="md5"),
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
-        "events_mode_type_per_user": R.events_mode_type_per_user,
-        "orders_cube_agg": R.orders_cube_agg,
         "events_json_extract_stats": R.events_json_extract_stats,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens": R.documents_top_tokens,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
-        "documents_hash_sample": R.documents_hash_sample,
+        "documents_hash_sample":
+            lambda sf: R.documents_hash_sample(sf, digest="md5"),
         # tfidf is r4-CHANGED code (the size-gated df switch, VERDICT r3
         # "What's wrong" #2) — promoted into the window so the fix gets a
         # driver hash row; two long-green unchanged scalar kernels
@@ -1165,7 +1183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dow_counts": R.orders_dow_counts,
         "part_name_prefix_counts": R.part_name_prefix_counts,
         "events_user_order_full_outer": R.events_user_order_full_outer,
-        "documents_stratified_sample": R.documents_stratified_sample,
+        # rotated out of the window in r5 (double-green r3+r4, code
+        # untouched; slots went to the ann_*_filter pair + stratified)
+        "orders_priority_argmax": R.orders_priority_argmax,
+        "events_mode_type_per_user": R.events_mode_type_per_user,
+        "orders_cube_agg": R.orders_cube_agg,
         "events_value_histogram": R.events_value_histogram,
         "documents_first_word_counts": R.documents_first_word_counts,
         # documents-table dedup ops (DuckDB-oracled)
@@ -1186,8 +1208,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": _embedding_near_dups,
         "embedding_pairs_exact": _embedding_pairs_exact,
         "ann_topk_bruteforce": _ann_bruteforce,
-        "ann_topk_lsh_filter": _ann_lsh_filter,
-        "ann_topk_ivf_filter": _ann_ivf_filter,
         # as-of join / range join / sketch aggregates / format round-trips
         "events_asof_orders": _events_asof_orders,
         "events_range_next10m": _events_range_next10m,

@@ -51,6 +51,54 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def arrow_str_hash64(col, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit hash of an Arrow string column, computed directly
+    on the Arrow offsets/data buffers — NO Python-string round trip (the
+    r4 pair-distinct tag went Arrow→pandas→object-concat→siphash; this is
+    the zero-object replacement, VERDICT r4 Next #6). Per row: polynomial
+    hash of the utf-8 bytes (odd base, uint64 wraparound) + a length term,
+    finished with splitmix64. Quality is partitioning/bucketing grade —
+    use for _part tags and bucket keys, not for content equality (exact
+    dedup keeps doc_hash; pair distinct still groups on the strings)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type != pa.large_string():
+        col = col.cast(pa.large_string())   # uniform int64 offsets
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                        count=n + 1 + col.offset)[col.offset:]
+    starts, ends = off[:-1], off[1:]
+    lens = ends - starts
+    base_h = np.zeros(n, dtype=U64)
+    total = int(off[-1] - off[0])
+    if total:
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        seg = data[off[0]:off[-1]].astype(U64)
+        # byte position within its row, vectorized
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(starts - off[0], lens))
+        pows = np.ones(int(lens.max()), dtype=U64)
+        if pows.size > 1:
+            with np.errstate(over="ignore"):
+                pows[1:] = np.cumprod(
+                    np.full(pows.size - 1, _POLY_BASE, dtype=U64))
+        with np.errstate(over="ignore"):
+            contrib = seg * pows[pos]
+        nonempty = lens > 0
+        # reduceat over nonempty row starts only: empty rows occupy zero
+        # bytes, so consecutive nonempty starts bound exactly one row each
+        base_h[nonempty] = np.add.reduceat(
+            contrib, (starts - off[0])[nonempty])
+    with np.errstate(over="ignore"):
+        return splitmix64(base_h
+                          + lens.astype(U64) * U64(0x94D049BB133111EB)
+                          + U64(seed))
+
+
 def hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) multiply-shift parameters: a odd, shape (num_perm,) each.
 

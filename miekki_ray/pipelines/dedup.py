@@ -124,7 +124,7 @@ def dedup_datasets(turns: ray.data.Dataset, cfg: DedupConfig) -> DedupResult:
         # winners only, but fetching from `docs` (already materialized)
         # is equivalent and avoids composing with the loser filter.
         from miekki_ray.stages.verify import verify_local
-        verified = verify_local(pairs, docs, cfg)
+        verified = verify_local(pairs, docs, cfg, metrics_name=sink.name)
     else:
         # join against the deduped docs only: pairs reference unique_docs
         # exclusively, so loser rows would be dead weight through both hash
@@ -259,6 +259,11 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
     sink.close()
     from miekki_ray.stages.verify import empty_verified
 
+    # separate sink for the verify stage so its counters (e.g.
+    # verify_local_dropped_pairs) land in the VERIFIED stage manifest,
+    # not mixed into the pairs counters above
+    vsink = MetricsSink()
+
     def _verify():
         n_pairs = pairs.count()   # metadata-only on the pairs parquet
         if n_pairs == 0:
@@ -276,7 +281,7 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
                 and _est_pair_doc_bytes(docs, n_pairs)
                 <= cfg.driver_verify_bytes):
             from miekki_ray.stages.verify import verify_local
-            return verify_local(pairs, docs, cfg)
+            return verify_local(pairs, docs, cfg, metrics_name=vsink.name)
         # n_pairs drives attach_docs' adaptive join width — without it the
         # join runs at cfg.num_partitions and small candidate sets leave
         # most join partitions with zero left blocks (verify.py env note:
@@ -285,7 +290,11 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         return verify_pairs(attach_docs(pairs, uniq, cfg, n_pairs=n_pairs),
                             cfg)
 
-    verified, d_ver = r.run("verified", _verify, upstream_dir=d_pairs)
+    verified, d_ver = r.run("verified", _verify, upstream_dir=d_pairs,
+                            metrics_fn=vsink.collect)
+    ver_metrics = stage_metrics(d_ver)
+    ver_metrics.pop("wall_sec", None)
+    vsink.close()
 
     # edges are NOT persisted as their own stage (r5): both inputs already
     # are — exact edges in the exact stage, near edges a cheap map over
@@ -307,7 +316,8 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
                       verified=verified, docs=docs,
                       unique_docs=uniq, sketched=sketched)
     res.metrics = {"ran": r.ran, "skipped": r.skipped,
-                   "stage_sec": dict(r.stage_sec), **pair_metrics}
+                   "stage_sec": dict(r.stage_sec),
+                   **pair_metrics, **ver_metrics}
     return res
 
 

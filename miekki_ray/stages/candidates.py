@@ -275,31 +275,47 @@ def candidate_pairs(band_rows: ray.data.Dataset, cfg: DedupConfig,
 
 def distinct_pairs(raw_pairs: ray.data.Dataset, cfg: DedupConfig
                    ) -> ray.data.Dataset:
-    """A1 — dedupe (a,b) and count how many buckets agreed (n_bands)."""
+    """A1 — dedupe (a,b) and count how many buckets agreed (n_bands).
+
+    Fully Arrow-native as of r5 (VERDICT r4 Next #6): the partition tag
+    hashes the (a, b) columns straight off their Arrow buffers
+    (arrow_str_hash64 — no pandas conversion, no per-row Python string
+    concat on the flagship's hottest small-row stream), and the per-
+    partition distinct is Arrow's C-speed hash group_by. The _part tag is
+    load-balancing only — exactness comes from grouping on the strings."""
     P = cfg.num_partitions
 
-    from miekki_ray.functions.util import pa_from_pandas, str_part
+    from miekki_ray.functions.hashing import arrow_str_hash64, splitmix64
 
-    def add_part(batch: pd.DataFrame) -> pa.Table:
-        if len(batch) == 0 or "a" not in batch.columns:
+    _EMPTY_TAGGED = pa.table({"a": pa.array([], type=pa.string()),
+                              "b": pa.array([], type=pa.string()),
+                              "_part": pa.array([], type=pa.int32())})
+    _EMPTY_OUT = pa.table({"a": pa.array([], type=pa.string()),
+                           "b": pa.array([], type=pa.string()),
+                           "n_bands": pa.array([], type=pa.int32())})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
             # schema-less empty block from an empty upstream partition
-            return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string()),
-                             "_part": pa.array([], type=pa.int32())})
-        batch = batch.copy()
-        batch["_part"] = str_part(
-            batch["a"].astype(str) + "\x00" + batch["b"].astype(str), P)
-        return pa_from_pandas(batch)
+            return _EMPTY_TAGGED
+        ha = arrow_str_hash64(batch["a"])
+        hb = arrow_str_hash64(batch["b"], seed=1)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(ha + hb * U64(0x9E3779B97F4A7C15))
+                    % U64(P)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, type=pa.int32()))
 
-    def uniq(group: pd.DataFrame) -> pa.Table:
-        if len(group) == 0 or "a" not in group.columns:
-            return pa.table({"a": pa.array([], type=pa.string()),
-                             "b": pa.array([], type=pa.string()),
-                             "n_bands": pa.array([], type=pa.int32())})
-        g = (group.groupby(["a", "b"], sort=False).size()
-             .reset_index(name="n_bands"))
-        g["n_bands"] = g["n_bands"].astype(np.int32)
-        return pa_from_pandas(g[["a", "b", "n_bands"]])
+    def uniq(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return _EMPTY_OUT
+        g = (group.select(["a", "b"])
+             .group_by(["a", "b"]).aggregate([([], "count_all")]))
+        return pa.table({
+            "a": g["a"].cast(pa.string()),
+            "b": g["b"].cast(pa.string()),
+            "n_bands": g["count_all"].cast(pa.int32()),
+        })
 
-    return (raw_pairs.map_batches(add_part, batch_format="pandas")
-            .groupby("_part").map_groups(uniq, batch_format="pandas"))
+    return (raw_pairs.map_batches(add_part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            .groupby("_part").map_groups(uniq, batch_format="pyarrow"))

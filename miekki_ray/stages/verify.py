@@ -203,7 +203,8 @@ def verify_pairs(pairs_with_docs: ray.data.Dataset, cfg: DedupConfig
 
 
 def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
-                 cfg: DedupConfig) -> ray.data.Dataset:
+                 cfg: DedupConfig,
+                 metrics_name: str | None = None) -> ray.data.Dataset:
     """Driver-narrow verify fast path (auto-switched by pipelines/dedup
     below cfg.driver_verify_pairs/_bytes): for a tiny candidate set, the
     two distributed hash joins of ``attach_docs`` are pure
@@ -246,6 +247,12 @@ def verify_local(pairs: ray.data.Dataset, docs: ray.data.Dataset,
     have = a_s.isin(dmap.keys()).to_numpy() \
         & b_s.isin(dmap.keys()).to_numpy()
     if not have.all():
+        # ... but silent must not mean INVISIBLE: the drop count lands in
+        # metrics so a real pairs/docs divergence shows up in the stage
+        # manifest instead of vanishing (VERDICT r4 Next #7)
+        from miekki_ray.state.metrics import emit as memit
+        memit(metrics_name,
+              {"verify_local_dropped_pairs": int((~have).sum())})
         pdf, a_s, b_s = pdf[have], a_s[have], b_s[have]
         if pdf.empty:
             return empty_verified()
