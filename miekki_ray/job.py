@@ -7,12 +7,13 @@ Ray cluster". On a cluster:
         python -m miekki_ray.job --turns /mnt/shared/turns/ \\
         --out /mnt/shared/dedup-run-1/ --num-partitions 512
 
-(--turns/--out must be filesystem paths visible to the head node — a
-shared mount on multi-node clusters. Object-store URIs are rejected by
-the checkpoint layer: its clearing/lineage/atomic-rename machinery is
-os.*-based, and silently no-opping against s3:// would duplicate rows
-on resume. The final keep_list below IS URI-capable — it replaces its
-directory through pyarrow.fs.)
+(--turns/--out accept local/shared-mount paths or object-store URIs:
+since r5 the checkpoint layer resolves both through a pyarrow.fs
+adapter (state/manifest.resolve_fs), so the clearing/lineage/manifest
+machinery operates on the SAME filesystem write_parquet targets.
+Manifest publication is tmp+rename on local filesystems and a
+single-object PUT on object stores — all-or-nothing either way. The
+final keep_list below replaces its directory through pyarrow.fs too.)
 
 Single node (this sandbox):
 

@@ -254,7 +254,7 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
         lambda: candidate_pairs(band_explode(sketched, cfg), cfg,
                                 metrics_name=sink.name),
         upstream_dir=d_sk, metrics_fn=sink.collect)
-    pair_metrics = stage_metrics(d_pairs)
+    pair_metrics = stage_metrics(d_pairs, filesystem=r.fs)
     pair_metrics.pop("wall_sec", None)   # already under stage_sec below
     sink.close()
     from miekki_ray.stages.verify import empty_verified
@@ -292,7 +292,7 @@ def run_dedup(turns_path: str | list[str] | ray.data.Dataset,
 
     verified, d_ver = r.run("verified", _verify, upstream_dir=d_pairs,
                             metrics_fn=vsink.collect)
-    ver_metrics = stage_metrics(d_ver)
+    ver_metrics = stage_metrics(d_ver, filesystem=r.fs)
     ver_metrics.pop("wall_sec", None)
     vsink.close()
 

@@ -46,11 +46,15 @@ def _try_import_pillow():
 class MediaDecoder:
     """Actor-pool UDF: binary payload -> fixed-dim feature vector.
 
-    Real decode (PIL/librosa/ffmpeg) is unavailable in this container; when
-    the import fails the decode is a clearly-marked deterministic fake
-    (blake2b of payload seeds a feature vector). The actor signature,
-    schema handling and output layout are the real, tested plumbing a real
-    decoder drops into."""
+    Branch selection (r5, VERDICT r4 Next #4): when Pillow imports, IMAGE
+    payloads take the REAL decode path — PIL open → grayscale → 8×8
+    thumbnail → normalized 64-dim pixel feature — and undecodable bytes
+    mark decoded_ok=False. When the import fails (this container) or for
+    non-image kinds (librosa/ffmpeg stay unavailable), the decode is the
+    clearly-marked deterministic fake (blake2b of payload seeds a feature
+    vector). Same actor signature, schema and output layout either way —
+    the branch is per-row, pinned by tests/test_extras.py with a fake PIL
+    module."""
 
     def __init__(self, seed: int = 0):
         self.seed = seed
@@ -64,7 +68,22 @@ class MediaDecoder:
         rng = np.random.default_rng(int.from_bytes(digest, "little"))
         return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
+    def _decode_image_real(self, payload: bytes) -> np.ndarray:
+        """PIL decode → L-mode 8×8 thumbnail → 64 normalized pixels.
+        8·8 == FEATURE_DIM so real and stub features share one schema."""
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload)).convert("L") \
+            .resize((8, 8))
+        px = np.frombuffer(img.tobytes()[:FEATURE_DIM], dtype=np.uint8)
+        feat = np.zeros(FEATURE_DIM, dtype=np.float32)
+        feat[:px.size] = px.astype(np.float32) / 255.0
+        return feat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
         feats = np.empty((batch.num_rows, FEATURE_DIM), dtype=np.float32)
         ok = np.ones(batch.num_rows, dtype=bool)
         for i, payload in enumerate(batch["payload"].to_pylist()):
@@ -72,9 +91,13 @@ class MediaDecoder:
                 feats[i] = 0.0
                 ok[i] = False
                 continue
-            # real path would dispatch on kind: PIL decode / resample /
-            # frame-sample; stubbed deterministically (NotImplemented in
-            # this container)
+            if self.has_pillow and kinds[i] == "image":
+                try:
+                    feats[i] = self._decode_image_real(payload)
+                except Exception:
+                    feats[i] = 0.0      # real decoder, undecodable bytes
+                    ok[i] = False
+                continue
             feats[i] = self._decode_stub(payload)
         feat_col = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), type=pa.float32()), FEATURE_DIM)
@@ -104,15 +127,36 @@ def decode_media(media: ray.data.Dataset, seed: int = 0,
 class ImageResizer:
     """Actor-pool UDF: image rows -> resized payload + updated meta.
 
-    Real path: PIL decode -> resize((w, h)) -> re-encode; unavailable in
-    this container, so the payload transform is a clearly-marked
-    deterministic stub (truncate/pad to a size proportional to the target
-    area) while the meta rewrite, row filtering, schema and actor shape
-    are the real plumbing."""
+    Branch selection (r5, VERDICT r4 Next #4): with Pillow importable the
+    image payload takes the REAL path — PIL decode → resize((w, h)) →
+    re-encode in the source format — falling back to the clearly-marked
+    deterministic stub (truncate/pad proportional to the target area)
+    when the bytes don't decode. Without Pillow (this container) the stub
+    is the whole transform. Meta rewrite, row filtering, schema and actor
+    shape are identical on every branch."""
 
     def __init__(self, width: int, height: int):
         self.w = width
         self.h = height
+        self.has_pillow = _try_import_pillow()
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        fmt = img.format or "PNG"
+        buf = io.BytesIO()
+        img.resize((self.w, self.h)).save(buf, format=fmt)
+        return buf.getvalue()
+
+    def _resize_stub(self, p: bytes, meta: dict) -> bytes:
+        # stub transform: scale payload length by target/source area
+        src_area = max(1, meta.get("width", 1) * meta.get("height", 1))
+        ratio = (self.w * self.h) / src_area
+        target = max(16, int(len(p) * min(ratio, 1.0)))
+        return p[:target].ljust(16, b"\0")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch["kind"].to_pylist()
@@ -128,11 +172,13 @@ class ImageResizer:
                 out_meta.append(raw_meta)
                 continue
             meta = json.loads(raw_meta) if raw_meta else {}
-            # stub transform: scale payload length by target/source area
-            src_area = max(1, meta.get("width", 1) * meta.get("height", 1))
-            ratio = (self.w * self.h) / src_area
-            target = max(16, int(len(p) * min(ratio, 1.0)))
-            out_payload.append(p[:target].ljust(16, b"\0"))
+            if self.has_pillow:
+                try:
+                    out_payload.append(self._resize_real(p))
+                except Exception:
+                    out_payload.append(self._resize_stub(p, meta))
+            else:
+                out_payload.append(self._resize_stub(p, meta))
             out_meta.append(json.dumps(
                 {**meta, "width": self.w, "height": self.h}))
         return pa.table({

@@ -27,69 +27,111 @@ import ray.data
 MANIFEST_NAME = "_MANIFEST.json"
 
 
-def require_local_path(path, what: str) -> None:
-    """The checkpoint/lineage machinery is LOCAL-FILESYSTEM only: clearing,
-    listing, fingerprinting and the atomic manifest rename all go through
-    os.*. A URI (s3://...) out_dir would let write_parquet target object
-    storage while this module silently operates on a literal local
-    './s3:/...' directory — no clearing (duplicate rows on resume), empty
-    per-partition lineage, and a constant input fingerprint that validates
-    stale corpora (r4 review). Fail loudly instead; multi-node runs need a
-    shared mount (NFS/FUSE) until a pyarrow.fs port of this module exists."""
+def resolve_fs(path, filesystem=None):
+    """(pyarrow FileSystem, fs-internal path) for a path/URI — the r5
+    adapter that lifted the r4 local-only restriction (VERDICT r4 Next
+    #8). Every manifest/clearing/lineage operation below goes through the
+    RESOLVED filesystem — the exact fs write_parquet targets — so a URI
+    out_dir can no longer split the data writes (object storage) from the
+    manifest machinery (a literal local './s3:/...' dir), which was the
+    r4 hazard that justified rejecting URIs outright. An explicit
+    ``filesystem`` overrides resolution (tests drive a SubTreeFileSystem
+    as the object-store stand-in); an unknown URI scheme still fails
+    loudly (pyarrow from_uri raises)."""
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, str(path)
     if "://" in str(path):
-        raise ValueError(
-            f"{what} {path!r} is a URI: stage checkpointing requires a "
-            "local (or shared-mount) filesystem path — the manifest "
-            "machinery uses os.* listing, clearing and atomic renames, "
-            "which silently no-op against object storage")
+        return pafs.FileSystem.from_uri(str(path))
+    return pafs.LocalFileSystem(), os.path.abspath(str(path))
 
 
-def stage_metrics(stage_dir: str) -> dict:
+def _is_local(fsys) -> bool:
+    from pyarrow import fs as pafs
+
+    return isinstance(fsys, pafs.LocalFileSystem)
+
+
+def _exists(fsys, path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    return fsys.get_file_info(path).type != pafs.FileType.NotFound
+
+
+def _read_bytes(fsys, path: str) -> bytes:
+    with fsys.open_input_stream(path) as f:
+        return f.read()
+
+
+def _list_files(fsys, base: str, recursive: bool = False):
+    """FileInfo list under ``base`` ([] if base missing)."""
+    from pyarrow import fs as pafs
+
+    try:
+        infos = fsys.get_file_info(
+            pafs.FileSelector(base, recursive=recursive,
+                              allow_not_found=True))
+    except (OSError, NotADirectoryError):
+        return []
+    return [i for i in infos if i.type == pafs.FileType.File]
+
+
+def stage_metrics(stage_dir: str, filesystem=None) -> dict:
     """The 'metrics' block of a stage manifest ({} if absent/unreadable)
     — how a RESUMED run recovers the counters its skipped stage recorded
     when it originally executed."""
+    fsys, base = resolve_fs(stage_dir, filesystem)
     try:
-        with open(_manifest_path(stage_dir)) as f:
-            return json.load(f).get("metrics", {}) or {}
+        return json.loads(_read_bytes(fsys, _manifest_path(base))) \
+            .get("metrics", {}) or {}
     except (OSError, ValueError):
         return {}
 
 
 def _manifest_path(stage_dir: str) -> str:
-    return os.path.join(stage_dir, MANIFEST_NAME)
+    return f"{stage_dir.rstrip('/')}/{MANIFEST_NAME}"
 
 
-def manifest_hash(stage_dir: str) -> str | None:
+def manifest_hash(stage_dir: str, filesystem=None) -> str | None:
     """Content hash of a stage's manifest (used as downstream upstream_hash)."""
-    p = _manifest_path(stage_dir)
-    if not os.path.exists(p):
+    fsys, base = resolve_fs(stage_dir, filesystem)
+    p = _manifest_path(base)
+    if not _exists(fsys, p):
         return None
-    with open(p, "rb") as f:
-        return hashlib.blake2b(f.read(), digest_size=16).hexdigest()
+    return hashlib.blake2b(_read_bytes(fsys, p),
+                           digest_size=16).hexdigest()
 
 
-def input_fingerprint(paths) -> str:
+def _mtime_ns(info) -> int:
+    if info.mtime_ns is not None:
+        return int(info.mtime_ns)
+    if info.mtime is not None:
+        return int(info.mtime.timestamp() * 1e9)
+    return 0
+
+
+def input_fingerprint(paths, filesystem=None) -> str:
     """Identity of a ROOT stage's input: file paths + sizes + mtimes,
-    hashed. Without this, a re-run against a DIFFERENT corpus but the same
-    out_dir + config would silently reuse the stale root checkpoint."""
+    hashed (recursive listing — hive/date-partitioned layouts keep files
+    in subdirectories). Without this, a re-run against a DIFFERENT corpus
+    but the same out_dir + config would silently reuse the stale root
+    checkpoint. Goes through the filesystem adapter so remote corpora
+    fingerprint their real object listing."""
+    from pyarrow import fs as pafs
+
     if isinstance(paths, str):
         paths = [paths]
     entries = []
     for p in paths:
-        require_local_path(p, "input path")
-        if os.path.isdir(p):
-            # recursive: hive/date-partitioned layouts keep their files in
-            # subdirectories — a top-level-only listing would fingerprint
-            # every such corpus to the same empty list
-            for root, dirs, files in os.walk(p):
-                dirs.sort()
-                for f in sorted(files):
-                    fp = os.path.join(root, f)
-                    st = os.stat(fp)
-                    entries.append((fp, st.st_size, int(st.st_mtime_ns)))
-        elif os.path.isfile(p):
-            st = os.stat(p)
-            entries.append((p, st.st_size, int(st.st_mtime_ns)))
+        fsys, base = resolve_fs(p, filesystem)
+        info = fsys.get_file_info(base)
+        if info.type == pafs.FileType.Directory:
+            for fi in sorted(_list_files(fsys, base, recursive=True),
+                             key=lambda i: i.path):
+                entries.append((fi.path, fi.size, _mtime_ns(fi)))
+        elif info.type == pafs.FileType.File:
+            entries.append((base, info.size, _mtime_ns(info)))
         else:
             entries.append((str(p), -1, -1))
     blob = json.dumps(entries, sort_keys=True).encode()
@@ -125,19 +167,20 @@ def root_input_fp(turns_path) -> str:
 def manifest_valid(stage_dir: str, config_hash: str,
                    upstream_hash: str | None,
                    upstream_required: bool = False,
-                   input_fp: str | None = None) -> bool:
+                   input_fp: str | None = None,
+                   filesystem=None) -> bool:
     """A checkpoint is reusable iff its manifest parses AND config hash,
     upstream manifest hash, and (for root stages) the input fingerprint all
     match. ``upstream_required=True`` with a missing upstream manifest
     (upstream_hash None) invalidates — an orphaned downstream checkpoint
     must not validate against a vanished upstream."""
-    p = _manifest_path(stage_dir)
-    if not os.path.exists(p):
+    fsys, base = resolve_fs(stage_dir, filesystem)
+    p = _manifest_path(base)
+    if not _exists(fsys, p):
         return False
     try:
-        with open(p) as f:
-            m = json.load(f)
-    except (json.JSONDecodeError, OSError):
+        m = json.loads(_read_bytes(fsys, p))
+    except (json.JSONDecodeError, OSError, ValueError):
         return False
     if m.get("config_hash") != config_hash:
         return False
@@ -147,46 +190,71 @@ def manifest_valid(stage_dir: str, config_hash: str,
         return False
     if input_fp is not None and m.get("input_fingerprint") != input_fp:
         return False
-    # per-partition check: every listed file still on disk
+    # per-partition check: every listed file still present
     for part in m.get("partitions", []):
-        if not os.path.exists(os.path.join(stage_dir, part["file"])):
+        if not _exists(fsys, f"{base.rstrip('/')}/{part['file']}"):
             return False
     return True
+
+
+def _publish_manifest(fsys, stage_base: str, blob: bytes) -> None:
+    """Manifest-LAST publication with the strongest atomicity the target
+    filesystem offers: local = tmp file + os.replace (POSIX-atomic);
+    object stores = one single-object write — a PUT is all-or-nothing per
+    object, so readers see the old manifest or the new one, never a torn
+    file (the property the local rename provided)."""
+    mpath = _manifest_path(stage_base)
+    if _is_local(fsys):
+        fd, tmp = tempfile.mkstemp(dir=stage_base, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, mpath)   # atomic
+    else:
+        with fsys.open_output_stream(mpath) as f:
+            f.write(blob)
 
 
 def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
                 config_hash: str, upstream_hash: str | None = None,
                 metrics=None,
-                input_fp: str | None = None) -> str:
-    """Write stage output + manifest (manifest LAST, atomic tmp+rename).
-    Returns the stage directory. ``metrics`` may be a dict or a CALLABLE
-    invoked after the data write — stage counters (MetricsSink) only
-    exist once execution has run, which happens inside write_parquet."""
-    require_local_path(out_dir, "checkpoint out_dir")
-    stage_dir = os.path.join(out_dir, stage)
-    os.makedirs(stage_dir, exist_ok=True)
+                input_fp: str | None = None,
+                filesystem=None) -> str:
+    """Write stage output + manifest (manifest LAST; see
+    _publish_manifest for the per-filesystem atomicity). Returns the
+    stage directory. ``metrics`` may be a dict or a CALLABLE invoked
+    after the data write — stage counters (MetricsSink) only exist once
+    execution has run, which happens inside write_parquet."""
+    fsys, out_base = resolve_fs(out_dir, filesystem)
+    stage_dir = f"{out_base.rstrip('/')}/{stage}"
+    fsys.create_dir(stage_dir, recursive=True)
     # clear any previous attempt's data AND manifest AND orphaned manifest
     # tmp files (a crash between mkstemp and os.replace leaves one):
     # write_parquet appends part files, and a stale manifest must not
     # validate the mixed output
-    for f in os.listdir(stage_dir):
-        if f.endswith((".parquet", ".tmp")) or f == MANIFEST_NAME:
-            os.unlink(os.path.join(stage_dir, f))
+    for fi in _list_files(fsys, stage_dir):
+        name = fi.path.rsplit("/", 1)[-1]
+        if name.endswith((".parquet", ".tmp")) or name == MANIFEST_NAME:
+            fsys.delete_file(fi.path)
     # strip schema-level metadata before writing: pandas-backed blocks
     # carry a 'pandas' schema-metadata dict, which makes the re-read
     # schema UNHASHABLE and defeats Ray's schema-dedup fast path in every
-    # post-resume shuffle (same policy as sources.transcripts readers)
+    # post-resume shuffle (same policy as sources.transcripts readers).
+    # The SAME resolved filesystem carries the data write and the
+    # manifest machinery — the split the r4 local-only rule guarded
+    # against cannot happen.
     from miekki_ray.sources.transcripts import strip_schema_metadata
-    strip_schema_metadata(ds).write_parquet(stage_dir)
+    strip_schema_metadata(ds).write_parquet(stage_dir, filesystem=fsys)
     # per-partition lineage: row count per written file
     import pyarrow.parquet as pq
     parts = []
     total = 0
-    for f in sorted(os.listdir(stage_dir)):
-        if not f.endswith(".parquet"):
+    for fi in sorted(_list_files(fsys, stage_dir), key=lambda i: i.path):
+        name = fi.path.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet"):
             continue
-        n = pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
-        parts.append({"file": f, "rows": n})
+        with fsys.open_input_file(fi.path) as f:
+            n = pq.ParquetFile(f).metadata.num_rows
+        parts.append({"file": name, "rows": n})
         total += n
     manifest = {
         "stage": stage,
@@ -197,24 +265,25 @@ def write_stage(ds: ray.data.Dataset, out_dir: str, stage: str,
         "total_rows": total,
         "metrics": (metrics() if callable(metrics) else metrics) or {},
     }
-    fd, tmp = tempfile.mkstemp(dir=stage_dir, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, _manifest_path(stage_dir))   # atomic
+    _publish_manifest(fsys, stage_dir,
+                      json.dumps(manifest, indent=1, sort_keys=True)
+                      .encode())
     return stage_dir
 
 
-def read_stage(stage_dir: str) -> ray.data.Dataset:
+def read_stage(stage_dir: str, filesystem=None) -> ray.data.Dataset:
     # file_extensions filter: a leftover manifest tmp file (crash between
     # mkstemp and os.replace above) or any stray non-parquet file would
     # otherwise make read_parquet raise on every later resume; also
     # tolerates a legitimately EMPTY stage output (zero part files)
-    return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
+    fsys, base = resolve_fs(stage_dir, filesystem)
+    return ray.data.read_parquet(base, filesystem=fsys,
+                                 file_extensions=["parquet"])
 
 
-def read_manifest(stage_dir: str) -> dict:
-    with open(_manifest_path(stage_dir)) as f:
-        return json.load(f)
+def read_manifest(stage_dir: str, filesystem=None) -> dict:
+    fsys, base = resolve_fs(stage_dir, filesystem)
+    return json.loads(_read_bytes(fsys, _manifest_path(base)))
 
 
 class StageRunner:
@@ -223,9 +292,10 @@ class StageRunner:
     manifest validates against (config_hash, upstream manifest hash) the
     stage is SKIPPED and its parquet read back (SURVEY.md §3.3)."""
 
-    def __init__(self, out_dir: str, config_hash: str):
-        require_local_path(out_dir, "checkpoint out_dir")
-        self.out_dir = out_dir
+    def __init__(self, out_dir: str, config_hash: str, filesystem=None):
+        # resolve ONCE: every stage read/write/validate below shares this
+        # filesystem (explicit or URI-derived) — see resolve_fs
+        self.fs, self.out_dir = resolve_fs(out_dir, filesystem)
         self.config_hash = config_hash
         self.ran: list[str] = []
         self.skipped: list[str] = []
@@ -251,15 +321,16 @@ class StageRunner:
 
         cfg_hash = config_hash if config_hash is not None \
             else self.config_hash
-        stage_dir = os.path.join(self.out_dir, stage)
-        up_hash = manifest_hash(upstream_dir) if upstream_dir else None
+        stage_dir = f"{self.out_dir.rstrip('/')}/{stage}"
+        up_hash = (manifest_hash(upstream_dir, filesystem=self.fs)
+                   if upstream_dir else None)
         if manifest_valid(stage_dir, cfg_hash, up_hash,
                           upstream_required=upstream_dir is not None,
-                          input_fp=input_fp):
+                          input_fp=input_fp, filesystem=self.fs):
             self.skipped.append(stage)
-            self.stage_sec[stage] = stage_metrics(stage_dir).get(
-                "wall_sec", 0.0)
-            return read_stage(stage_dir), stage_dir
+            self.stage_sec[stage] = stage_metrics(
+                stage_dir, filesystem=self.fs).get("wall_sec", 0.0)
+            return read_stage(stage_dir, filesystem=self.fs), stage_dir
         t0 = time.perf_counter()
         ds = fn()
 
@@ -272,6 +343,7 @@ class StageRunner:
             return base
 
         write_stage(ds, self.out_dir, stage, cfg_hash, up_hash,
-                    input_fp=input_fp, metrics=_metrics)
+                    input_fp=input_fp, metrics=_metrics,
+                    filesystem=self.fs)
         self.ran.append(stage)
-        return read_stage(stage_dir), stage_dir
+        return read_stage(stage_dir, filesystem=self.fs), stage_dir

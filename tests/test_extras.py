@@ -239,3 +239,116 @@ def test_resize_and_frame_sample_plumbing(ray_session):
     # deterministic
     frames2 = sample_frames(media).to_pandas()
     assert len(frames) == len(frames2)
+
+
+def _install_fake_pil(monkeypatch):
+    """Minimal PIL.Image lookalike so the REAL code path executes in a
+    container without Pillow (VERDICT r4 Next #4 branch-selection pin).
+    open() raises on payloads starting with b'BAD' (undecodable bytes)."""
+    import sys
+    import types
+
+    class FakeImg:
+        format = "PNG"
+
+        def __init__(self, data: bytes):
+            self._data = data
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def tobytes(self) -> bytes:
+            return (self._data + b"\0" * 64)[:64]
+
+        def save(self, buf, format=None):
+            buf.write(b"ENC:" + format.encode() + b":"
+                      + str(self._wh).encode() + b":" + self._data[:8])
+
+    def fake_open(fp):
+        data = fp.read()
+        if data.startswith(b"BAD"):
+            raise OSError("cannot identify image file")
+        return FakeImg(data)
+
+    mod_pil = types.ModuleType("PIL")
+    mod_img = types.ModuleType("PIL.Image")
+    mod_img.open = fake_open
+    mod_pil.Image = mod_img
+    monkeypatch.setitem(sys.modules, "PIL", mod_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", mod_img)
+
+
+def test_media_decoder_branch_selection(monkeypatch):
+    """Kernel-level (no Ray): without PIL every row takes the stub; with
+    (fake) PIL importable, image rows take the real decode path, bad
+    image bytes mark decoded_ok=False, and non-image rows still stub."""
+    import numpy as np
+    import pyarrow as pa
+
+    from miekki_ray.stages.multimodal import FEATURE_DIM, MediaDecoder
+
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2], type=pa.int64()),
+        "kind": pa.array(["image", "audio", "image"]),
+        "payload": pa.array([b"goodimagebytes", b"audiobytes",
+                             b"BADimagebytes"], type=pa.binary()),
+        "meta": pa.array(["{}"] * 3),
+    })
+    # container truth: Pillow absent -> stub branch for everything
+    dec_stub = MediaDecoder(seed=5)
+    assert dec_stub.has_pillow is False
+    out_stub = dec_stub(batch)
+    assert out_stub["decoded_ok"].to_pylist() == [True, True, True]
+
+    _install_fake_pil(monkeypatch)
+    dec_real = MediaDecoder(seed=5)
+    assert dec_real.has_pillow is True
+    out_real = dec_real(batch)
+    # image row 0: real path = normalized pixels of the fake 8x8 decode
+    f0 = np.array(out_real["feature"].to_pylist()[0], dtype=np.float32)
+    expect = np.zeros(FEATURE_DIM, dtype=np.float32)
+    raw = (b"goodimagebytes" + b"\0" * 64)[:64]
+    expect[:64] = np.frombuffer(raw, dtype=np.uint8).astype(np.float32) / 255
+    assert np.allclose(f0, expect)
+    # audio row 1: stub branch -> identical to the no-PIL output
+    assert (out_real["feature"].to_pylist()[1]
+            == out_stub["feature"].to_pylist()[1])
+    # image row 2: undecodable bytes -> ok False, zero feature
+    assert out_real["decoded_ok"].to_pylist() == [True, True, False]
+    assert all(v == 0.0 for v in out_real["feature"].to_pylist()[2])
+
+
+def test_image_resizer_branch_selection(monkeypatch):
+    import json
+
+    import pyarrow as pa
+
+    from miekki_ray.stages.multimodal import ImageResizer
+
+    batch = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([b"goodimagebytes", b"BADbytes"],
+                            type=pa.binary()),
+        "meta": pa.array([json.dumps({"width": 640, "height": 480})] * 2),
+    })
+    rz_stub = ImageResizer(64, 64)
+    assert rz_stub.has_pillow is False
+    stub_out = rz_stub(batch)
+
+    _install_fake_pil(monkeypatch)
+    rz_real = ImageResizer(64, 64)
+    assert rz_real.has_pillow is True
+    real_out = rz_real(batch)
+    # row 0: real re-encode (fake encoder prefix), meta updated
+    p0 = real_out["payload"].to_pylist()[0]
+    assert p0.startswith(b"ENC:PNG:(64, 64):")
+    m0 = json.loads(real_out["meta"].to_pylist()[0])
+    assert (m0["width"], m0["height"]) == (64, 64)
+    # row 1: decode fails -> stub fallback, byte-identical to no-PIL run
+    assert (real_out["payload"].to_pylist()[1]
+            == stub_out["payload"].to_pylist()[1])

@@ -241,23 +241,56 @@ def test_ckpt_path_scale_switches_identical(small_corpus, tmp_path):
     pd.testing.assert_frame_equal(va, vb)
 
 
-def test_uri_out_dir_rejected(tmp_path):
-    """r4 review: the manifest machinery is os.*-based — a URI out_dir
-    would write data to object storage while clearing/lineage silently
-    no-op locally (duplicate rows on resume). Must fail loudly."""
-    import pytest
-    import ray.data
+def test_unknown_uri_scheme_fails_loudly():
+    """r5 (VERDICT r4 Next #8): URIs now resolve through the pyarrow.fs
+    adapter — but an unresolvable scheme must still fail loudly at
+    construction, never silently checkpoint to a literal local path."""
+    with pytest.raises(Exception):
+        StageRunner("bogus-scheme://bucket/run1", "cfg")
 
-    from miekki_ray.state.manifest import (StageRunner, input_fingerprint,
-                                           write_stage)
 
-    ds = ray.data.range(3)
-    with pytest.raises(ValueError, match="URI"):
-        write_stage(ds, "s3://bucket/run1", "docs", "cfg")
-    with pytest.raises(ValueError, match="URI"):
-        StageRunner("s3://bucket/run1", "cfg")
-    with pytest.raises(ValueError, match="URI"):
-        input_fingerprint("s3://bucket/turns/")
+def test_remote_fs_checkpoints_via_adapter(tmp_path):
+    """r5 (VERDICT r4 Next #8): the manifest machinery runs against an
+    EXPLICIT non-local pyarrow filesystem (SubTreeFileSystem as the
+    object-store stand-in — same generic pafs API surface, no os.*):
+    write + manifest-last publish (single-object branch, no .tmp
+    residue), per-partition lineage, resume skip, clearing on re-run,
+    and stage_metrics recovery all through the adapter."""
+    from pyarrow import fs as pafs
+
+    from miekki_ray.state.manifest import (StageRunner, read_manifest,
+                                           stage_metrics)
+
+    root = tmp_path / "bucket"
+    root.mkdir()
+    remote = pafs.SubTreeFileSystem(str(root), pafs.LocalFileSystem())
+    calls = []
+
+    def f():
+        calls.append(1)
+        return _ds(12)
+
+    r1 = StageRunner("run1", "cfgA", filesystem=remote)
+    out, d = r1.run("docs", f, metrics_fn=lambda: {"made_up": 2.0})
+    assert out.count() == 12 and calls == [1]
+    m = read_manifest(d, filesystem=remote)
+    assert m["total_rows"] == 12
+    assert sum(p["rows"] for p in m["partitions"]) == 12
+    assert stage_metrics(d, filesystem=remote)["made_up"] == 2.0
+    # non-local publish branch leaves no tmp residue in the stage dir
+    names = [p.name for p in (root / "run1" / "docs").iterdir()]
+    assert not [n for n in names if n.endswith(".tmp")]
+    # resume: skipped through the adapter
+    r2 = StageRunner("run1", "cfgA", filesystem=remote)
+    out2, _ = r2.run("docs", f)
+    assert calls == [1] and r2.skipped == ["docs"]
+    assert out2.count() == 12
+    # config change invalidates + re-run CLEARS the old part files (no
+    # row duplication through write_parquet's append behavior)
+    r3 = StageRunner("run1", "cfgB", filesystem=remote)
+    out3, _ = r3.run("docs", lambda: _ds(5))
+    assert out3.count() == 5
+    assert read_manifest(d, filesystem=remote)["total_rows"] == 5
 
 
 def test_metrics_add_idempotent_under_retry_token():
