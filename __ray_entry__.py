@@ -1097,6 +1097,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_mix_sample":
             lambda sf: R.documents_mix_sample(sf, digest="md5"),
         "documents_repetition": R.documents_repetition,
+        # NEW in r5: char-trigram LM quality score (CCNet-style
+        # perplexity filtering) — windowed immediately with its full SQL
+        # oracle; documents_sentence_stats rotated out to make the slot
+        # (double-green r3+r4, untouched)
+        "documents_lm_score":
+            lambda sf: R.documents_lm_score(sf, digest="md5"),
         # --- containment / edit-distance / ngram near-dup modalities ---
         "containment_pairs": _containment_pairs,
         "part_levenshtein_pairs": _part_levenshtein_pairs,
@@ -1124,7 +1130,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot (double-green r3+r4, untouched)
         "ann_topk_hnsw": _ann_hnsw,
         "events_json_extract_stats": R.events_json_extract_stats,
-        "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens": R.documents_top_tokens,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "documents_hash_sample":
@@ -1204,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type_per_user": R.events_mode_type_per_user,
         "orders_cube_agg": R.orders_cube_agg,
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
+        "documents_sentence_stats": R.documents_sentence_stats,
         "events_value_histogram": R.events_value_histogram,
         "documents_first_word_counts": R.documents_first_word_counts,
         # documents-table dedup ops (DuckDB-oracled)
@@ -1904,6 +1910,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(1 - COUNT(DISTINCT sh)
                              / CAST(COUNT(*) AS DOUBLE), 6) AS rep_ratio
             FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        # E53: the char-trigram LM scorer's SQL twin — the IDENTICAL
+        # model stated relationally: trigram counts over the md5-rank-0
+        # sample (the engine's graded digest), context = prefix-bigram
+        # sums of the SAME counts, add-one smoothing over a 256-byte
+        # alphabet, per-doc AVG(ln P). char == byte holds because the
+        # driver corpus is pure ASCII (verified; the engine's byte model
+        # is the general case).
+        "documents_lm_score": """
+            WITH tri AS (
+              SELECT doc_id, substr(text, i, 3) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 2))
+                               AS i
+                    FROM documents
+                    WHERE length(text) >= 3)
+            ), counts AS (
+              SELECT g, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM tri
+              WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+              GROUP BY g
+            ), ctx AS (
+              SELECT substr(g, 1, 2) AS g2, SUM(c) AS c2
+              FROM counts GROUP BY g2
+            )
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tri,
+                   ROUND(AVG(LN((COALESCE(c.c, 0) + 1.0)
+                                / (COALESCE(x.c2, 0) + 256.0))), 6)
+                       AS avg_logp
+            FROM tri t
+            LEFT JOIN counts c ON t.g = c.g
+            LEFT JOIN ctx x ON substr(t.g, 1, 2) = x.g2
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "documents_mix_sample": """
             SELECT doc_id, source FROM documents
