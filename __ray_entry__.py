@@ -236,6 +236,16 @@ def _ann_hnsw(sf_dir: str):
     return hnsw_topk(emb, _query_vecs(sf_dir), k=10)
 
 
+def _ann_pq(sf_dir: str):
+    """Memory-bound ANN regime (r5): PQ-ADC scan over 32x-compressed
+    codes + exact shortlist re-rank. Rows-only; recall gate + exactness
+    of the re-ranked scores pinned in tests/test_pq.py."""
+    from miekki_ray.stages.pq import pq_topk
+
+    emb = _read_tbl(sf_dir, "embeddings")
+    return pq_topk(emb, _query_vecs(sf_dir), k=10)
+
+
 def _ann_lsh(sf_dir: str):
     """GRADED LSH entry (VERDICT r3 Next #1): the cluster-scale
     construction — bucket-keyed groupby (members co-locate), unprobed
@@ -1129,9 +1139,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lands); nations_customers_vs_suppliers rotated out to make the
         # slot (double-green r3+r4, untouched)
         "ann_topk_hnsw": _ann_hnsw,
+        # NEW in r5: PQ-ADC (memory-bound ANN regime) — windowed
+        # immediately; documents_top_tokens_approx rotated out
+        # (double-green r3+r4, untouched)
+        "ann_topk_pq": _ann_pq,
         "events_json_extract_stats": R.events_json_extract_stats,
         "documents_top_tokens": R.documents_top_tokens,
-        "documents_top_tokens_approx": _documents_top_tokens_approx,
         "documents_hash_sample":
             lambda sf: R.documents_hash_sample(sf, digest="md5"),
         # tfidf is r4-CHANGED code (the size-gated df switch, VERDICT r3
@@ -1210,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube_agg": R.orders_cube_agg,
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
         "documents_sentence_stats": R.documents_sentence_stats,
+        "documents_top_tokens_approx": _documents_top_tokens_approx,
         "events_value_histogram": R.events_value_histogram,
         "documents_first_word_counts": R.documents_first_word_counts,
         # documents-table dedup ops (DuckDB-oracled)
