@@ -113,35 +113,14 @@ def main(argv: list[str] | None = None) -> int:
     # Ray's write_parquet APPENDS uuid-named files to an existing dir; on
     # re-submit (the resume flow) that would double every keep row. The
     # keep_list is a final output, not a checkpoint — replace it
-    # wholesale. Local filesystems get the crash-safe swap (write a temp
-    # sibling, rename over — the previous good output survives every
-    # crash window; same discipline ADVICE r4 mandated for the
-    # JSONL/CSV sinks). Object-store URIs keep delete-then-write: no
-    # atomic dir rename exists there, and per-object PUTs are already
-    # all-or-nothing.
-    keep_dir = f"{args.out}/keep_list"
-    if "://" in keep_dir:
-        from pyarrow import fs as pafs
+    # wholesale via the SHARED crash-safe swap (sources/text_formats.
+    # replace_dir_write: temp sibling + rename locally, delete-then-write
+    # on object-store URIs). marker=None: a marker file inside a parquet
+    # directory would trip naive read_parquet consumers.
+    from miekki_ray.sources.text_formats import replace_dir_write
 
-        fsys, path = pafs.FileSystem.from_uri(keep_dir)
-        if fsys.get_file_info(path).type != pafs.FileType.NotFound:
-            fsys.delete_dir(path)
-        keep.write_parquet(keep_dir)
-    else:
-        import shutil
-        import uuid
-
-        out = os.path.abspath(keep_dir)
-        nonce = uuid.uuid4().hex
-        tmp = f"{out}.tmp-{nonce}"
-        keep.write_parquet(tmp)
-        old = None
-        if os.path.exists(out):
-            old = f"{out}.old-{nonce}"
-            os.rename(out, old)
-        os.rename(tmp, out)
-        if old is not None:
-            shutil.rmtree(old, ignore_errors=True)
+    replace_dir_write(f"{args.out}/keep_list", keep.write_parquet,
+                      marker=None)
     summary = {
         "clusters_rows": n_clusters,
         "keep_rows": keep.count(),

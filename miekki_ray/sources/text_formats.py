@@ -25,34 +25,62 @@ from miekki_ray.sources.transcripts import strip_schema_metadata
 SINK_MARKER = "_MIEKKI_SINK"
 
 
-def _replace_write(out_dir: str, write_fn) -> None:
-    """Crash-safe replace-wholesale discipline for the simple sinks.
+def replace_dir_write(out_dir: str, write_fn,
+                      marker: str | None = SINK_MARKER) -> None:
+    """Crash-safe replace-wholesale discipline for directory sinks (ONE
+    shared implementation — job.py's keep_list output uses it too).
     Ray's write_* APPENDS uuid-named files to an existing directory, so a
     crashed-then-retried write would duplicate every row on read; the r4
     version deleted the directory FIRST, which (a) destroyed the previous
     good output if the run crashed between delete and write, and (b)
     would wipe an unrelated directory on a mistyped out_dir (ADVICE r4).
-    Now: write into a unique temp SIBLING, drop a marker file, then swap
-    via rename — the previous output survives every crash window (worst
-    case it is parked at ``<out>.old-*``, never destroyed mid-write), and
-    a non-empty existing directory WITHOUT the marker (i.e. not produced
-    by these sinks) raises instead of being replaced."""
+
+    Local paths: write into a unique temp SIBLING, then swap via rename —
+    the previous output survives every crash window (worst case it is
+    parked at ``<out>.old-*``, never destroyed mid-write); residue from
+    PRIOR crashed runs (``<out>.tmp-*`` / ``<out>.old-*`` siblings, ours
+    by naming construction) is cleared on entry so crashes don't leak
+    full-size output copies indefinitely. With ``marker`` set, the
+    marker file is dropped inside the output and a non-empty existing
+    directory WITHOUT it (i.e. not produced by this sink) raises instead
+    of being replaced; marker=None skips both (for parquet outputs whose
+    naive readers would trip over a non-parquet file).
+
+    Object-store URIs: no atomic directory rename exists there — fall
+    back to delete-then-write through pyarrow.fs (per-object PUTs are
+    already all-or-nothing; the delete..write crash window is the
+    documented ceiling on such stores)."""
     import os
     import shutil
     import uuid
 
+    if "://" in out_dir:
+        from pyarrow import fs as pafs
+
+        fsys, p = pafs.FileSystem.from_uri(out_dir)
+        if fsys.get_file_info(p).type != pafs.FileType.NotFound:
+            fsys.delete_dir(p)
+        write_fn(out_dir)     # no marker on URIs: nothing to guard with
+        return
     out = os.path.abspath(out_dir)
-    if os.path.isdir(out) and os.listdir(out) and \
-            not os.path.exists(os.path.join(out, SINK_MARKER)):
+    if marker and os.path.isdir(out) and os.listdir(out) and \
+            not os.path.exists(os.path.join(out, marker)):
         raise ValueError(
             f"refusing to replace {out}: directory is non-empty and was "
-            f"not written by this sink (no {SINK_MARKER} marker) — "
+            f"not written by this sink (no {marker} marker) — "
             "pass a fresh out_dir or remove it explicitly")
+    parent, base = os.path.dirname(out), os.path.basename(out)
+    if os.path.isdir(parent):
+        for f in os.listdir(parent):
+            if f.startswith((f"{base}.tmp-", f"{base}.old-")):
+                shutil.rmtree(os.path.join(parent, f),
+                              ignore_errors=True)
     nonce = uuid.uuid4().hex
     tmp = f"{out}.tmp-{nonce}"
     write_fn(tmp)
-    with open(os.path.join(tmp, SINK_MARKER), "w") as f:
-        f.write("")
+    if marker:
+        with open(os.path.join(tmp, marker), "w") as f:
+            f.write("")
     old = None
     if os.path.exists(out):
         old = f"{out}.old-{nonce}"
@@ -62,6 +90,10 @@ def _replace_write(out_dir: str, write_fn) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+# backward-compat alias (r5 review: job.py shares the implementation now)
+_replace_write = replace_dir_write
+
+
 def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
     """Partitioned JSONL sink (one file per block), replace-wholesale —
     re-running after a crash rewrites the directory instead of appending
@@ -69,11 +101,27 @@ def write_jsonl(ds: ray.data.Dataset, out_dir: str) -> None:
     _replace_write(out_dir, ds.write_json)
 
 
+def _paths_without_marker(path: str):
+    """Local sink directories carry the _MIEKKI_SINK marker, which
+    extension-less readers must skip (it would parse as an empty
+    schema-less block). Skip by NAME via an explicit file list, not by
+    allowlisting extensions — an extension pin would silently drop
+    legitimately-named external files (extensionless Spark-style parts,
+    .tsv) the readers have always accepted (r5 review). Non-marker dirs
+    and URIs pass through untouched."""
+    import os
+
+    if os.path.isdir(path) and \
+            os.path.exists(os.path.join(path, SINK_MARKER)):
+        return [os.path.join(path, f) for f in sorted(os.listdir(path))
+                if f != SINK_MARKER]
+    return path
+
+
 def read_jsonl(path: str) -> ray.data.Dataset:
-    # extension pin also skips the sink's _MIEKKI_SINK marker file, which
-    # would otherwise parse as an empty schema-less block
-    return strip_schema_metadata(
-        ray.data.read_json(path, file_extensions=["json", "jsonl"]))
+    # ray.data.read_json's DEFAULT file_extensions filter already skips
+    # the extension-less sink marker — plain call, r4 behavior unchanged
+    return strip_schema_metadata(ray.data.read_json(path))
 
 
 def write_csv(ds: ray.data.Dataset, out_dir: str) -> None:
@@ -91,9 +139,9 @@ def read_csv(path: str, column_types: dict[str, pa.DataType] | None = None
     if column_types:
         kwargs["convert_options"] = pacsv.ConvertOptions(
             column_types=column_types)
-    # extension pin: see read_jsonl (skips the sink marker file)
+    # marker skipped by name, not extension pin: see _paths_without_marker
     return strip_schema_metadata(
-        ray.data.read_csv(path, file_extensions=["csv"], **kwargs))
+        ray.data.read_csv(_paths_without_marker(path), **kwargs))
 
 
 IPC_MANIFEST = "_MANIFEST.json"

@@ -66,12 +66,23 @@ def exact_dedup(docs: ray.data.Dataset, cfg: DedupConfig
 
 
 def _to_edges(batch: pd.DataFrame) -> pa.Table:
-    a = np.minimum(batch["_rep"], batch["conv_id"])
-    b = np.maximum(batch["_rep"], batch["conv_id"])
-    return pa.table({"a": pa.array(a.astype(str), type=pa.string()),
-                     "b": pa.array(b.astype(str), type=pa.string()),
-                     "kind": pa.array(["exact"] * len(a),
-                                      type=pa.string())})
+    return _to_edges_loser(batch).drop_columns(["loser"])
+
+
+def _tagged_slim(docs: ray.data.Dataset, cfg: DedupConfig
+                 ) -> ray.data.Dataset:
+    """The shared slim D1 core: (conv_id, doc_hash) projected, coarse-
+    partitioned by doc_hash, winners tagged per partition. One
+    definition for exact_dedup_slim AND exact_state_slim (r5 review —
+    they carried verbatim copies of this chain)."""
+    from miekki_ray.functions.util import add_uint_part
+
+    slim = docs.select_columns(["conv_id", "doc_hash"])
+    return (slim.map_batches(add_uint_part("doc_hash",
+                                           cfg.num_partitions),
+                             batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_part")
+            .map_groups(_dedup_partition, batch_format="pyarrow"))
 
 
 def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
@@ -86,15 +97,7 @@ def exact_dedup_slim(docs: ray.data.Dataset, cfg: DedupConfig
     cfg.broadcast_loser_limit the flagship switches to the full
     ``exact_dedup`` doc_hash shuffle instead (SURVEY.md §2.4 J3/J4).
     Semantics identical to exact_dedup."""
-    from miekki_ray.functions.util import add_uint_part
-
-    slim = docs.select_columns(["conv_id", "doc_hash"])
-    P = cfg.num_partitions
-    tagged = (slim.map_batches(add_uint_part("doc_hash", P),
-                               batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("_part")
-              .map_groups(_dedup_partition, batch_format="pyarrow")
-              .materialize())
+    tagged = _tagged_slim(docs, cfg).materialize()
     edges = (tagged.filter(expr="_is_rep == False")
              .map_batches(_to_edges, batch_format="pandas"))
     losers = (tagged.filter(expr="_is_rep == False")
@@ -124,15 +127,7 @@ def exact_state_slim(docs: ray.data.Dataset, cfg: DedupConfig
     downstream: drop_losers(docs, losers) when the loser set broadcasts,
     the full exact_dedup shuffle above cfg.broadcast_loser_limit —
     exactly the in-memory flagship's auto-switch."""
-    from miekki_ray.functions.util import add_uint_part
-
-    slim = docs.select_columns(["conv_id", "doc_hash"])
-    P = cfg.num_partitions
-    tagged = (slim.map_batches(add_uint_part("doc_hash", P),
-                               batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("_part")
-              .map_groups(_dedup_partition, batch_format="pyarrow"))
-    return (tagged.filter(expr="_is_rep == False")
+    return (_tagged_slim(docs, cfg).filter(expr="_is_rep == False")
             .map_batches(_to_edges_loser, batch_format="pandas"))
 
 

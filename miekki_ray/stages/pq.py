@@ -139,7 +139,9 @@ def pq_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
             out_q.append(np.full(kk, qi, dtype=np.int32))
             out_id.append(ids[short][sel])
             out_s.append(exact[sel])
-        return pa.table({
+        if not out_q:                 # zero queries: np.concatenate([])
+            return EMPTY              # raises; every ANN entry returns
+        return pa.table({             # an empty frame here instead
             "query_idx": pa.array(np.concatenate(out_q), type=pa.int32()),
             id_col: pa.array(np.concatenate(out_id)),
             "score": pa.array(np.concatenate(out_s), type=pa.float64()),

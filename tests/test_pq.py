@@ -89,3 +89,17 @@ def test_pq_topk_full_shortlist_equals_bruteforce():
     full = pq_topk(ds, qs, k=5, m=4, ks=64, shortlist=300)
     pd.testing.assert_frame_equal(
         exact.reset_index(drop=True), full.reset_index(drop=True))
+
+
+def test_pq_topk_empty_query_set():
+    """r5 review: zero queries must return an empty frame (like every
+    other ANN entry), not crash on np.concatenate([])."""
+    rng = np.random.default_rng(1)
+    m = _unit(rng, 50, 16)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float64())),
+    }))
+    out = pq_topk(ds, np.empty((0, 16)), k=5, m=4, ks=16)
+    assert len(out) == 0

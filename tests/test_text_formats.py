@@ -215,3 +215,50 @@ def test_sink_replace_is_swap_not_delete_first(tmp_path):
     assert len(read_jsonl(out).to_pandas()) == 6   # replaced, not appended
     assert not [p for p in os.listdir(tmp_path)
                 if ".tmp-" in p or ".old-" in p]
+
+
+def test_sink_residue_from_prior_crash_is_cleared(tmp_path):
+    """r5 review: a crash between write and swap leaves <out>.tmp-* /
+    <out>.old-* siblings; the next run must clear them, not leak
+    full-size output copies indefinitely."""
+    import os
+
+    out = str(tmp_path / "j")
+    ds = ray.data.from_pandas(_tricky_df())
+    write_jsonl(ds, out)
+    # simulate prior-crash residue
+    os.makedirs(out + ".tmp-deadbeef")
+    (tmp_path / "j.tmp-deadbeef" / "x.json").write_text("{}")
+    os.makedirs(out + ".old-cafe")
+    write_jsonl(ds, out)
+    assert not [p for p in os.listdir(tmp_path)
+                if ".tmp-" in p or ".old-" in p]
+    assert len(read_jsonl(out).to_pandas()) == 6
+
+
+def test_reader_accepts_extensionless_external_csv(tmp_path):
+    """r5 review: read_csv must not regress to an extension allowlist —
+    external extensionless (Spark-style) part files read in full (Ray's
+    read_csv default accepts any name), while a marker-bearing SINK dir
+    skips exactly the marker, by name."""
+    import pyarrow as pa
+
+    d = tmp_path / "external"
+    d.mkdir()
+    (d / "part-00000").write_text("id,v\n1,a\n2,b\n")
+    (d / "part-00001").write_text("id,v\n3,c\n")
+    got = read_csv(str(d), column_types={"id": pa.int64(),
+                                         "v": pa.string()})
+    assert len(got.to_pandas()) == 3
+
+
+def test_sink_file_uri_roundtrip(tmp_path):
+    """r5 review: URI out_dirs go through the pyarrow.fs delete-then-
+    write branch (r4 behavior restored) — pinned with file:// which
+    resolves to the local filesystem."""
+    out = tmp_path / "uri_out"
+    uri = out.as_uri()
+    ds = ray.data.from_pandas(_tricky_df())
+    write_jsonl(ds, uri)
+    write_jsonl(ds, uri)                   # re-run replaces, not appends
+    assert len(read_jsonl(str(out)).to_pandas()) == 6
