@@ -538,6 +538,22 @@ def _documents_curated(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_curated_lm(sf_dir: str):
+    """r5: the curation chain WITH the CCNet-style LM perplexity cut —
+    quality filter → trigram-LM filter (model fit on the md5-rank-0
+    sample of the quality survivors, threshold -2.04 on the 6-dp avg
+    log-prob) → exact keep-first; the oracle restates the whole
+    composition, model included, as one SQL statement."""
+    from miekki_ray.pipelines.curate import curate_documents
+
+    docs = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return (curate_documents(docs, lm_threshold=-2.04, lm_digest="md5",
+                             num_partitions=_cfg().num_partitions)
+            .select_columns(["doc_id", "n_chars", "n_words",
+                             "alpha_ratio", "avg_logp"])
+            .sort("doc_id"))
+
+
 def _documents_curation_e2e(sf_dir: str):
     """E49 end-to-end curation COMPOSITION — the full pre-training data
     path as ONE lazy Ray pipeline: decontaminate (bench = doc_id%17==3,
@@ -1113,13 +1129,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (double-green r3+r4, untouched)
         "documents_lm_score":
             lambda sf: R.documents_lm_score(sf, digest="md5"),
+        # NEW in r5: the curation chain with the LM perplexity cut wired
+        # in (full composed SQL oracle); events_corr_by_type rotated out
+        # (double-green r3+r4, untouched)
+        "documents_curated_lm": _documents_curated_lm,
         # --- containment / edit-distance / ngram near-dup modalities ---
         "containment_pairs": _containment_pairs,
         "part_levenshtein_pairs": _part_levenshtein_pairs,
         "ngram_near_dup_pairs": _ngram_pairs,
         # --- aggregates / scalar kernels (SQL-oracled) ---
         "events_value_quantiles_approx": _events_value_quantiles_approx,
-        "events_corr_by_type": R.events_corr_by_type,
         # --- r5 window rotation (VERDICT r4 Next #2): ann_topk_lsh_filter
         # and ann_topk_ivf_filter were the only 2 of 98 registry names
         # without a driver-ever row (their semantics were graded under
@@ -1222,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mode_type_per_user": R.events_mode_type_per_user,
         "orders_cube_agg": R.orders_cube_agg,
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
+        "events_corr_by_type": R.events_corr_by_type,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "events_value_histogram": R.events_value_histogram,
@@ -2001,6 +2021,57 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # r5: the full curation-with-LM composition — quality clauses as
+        # documents_curated, then the E53 trigram model REFIT on the
+        # md5-rank-0 sample of the QUALITY SURVIVORS, threshold on the
+        # 6-dp rounded score, keep-first over the LM survivors
+        "documents_curated_lm": """
+            WITH w AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         AS n_alpha,
+                     CAST(len(regexp_extract_all(text, '[a-zA-Z'']+'))
+                          AS BIGINT) AS n_words
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text, n_chars, n_words,
+                     round(n_alpha / greatest(n_chars, 1), 6)
+                         AS alpha_ratio
+              FROM w
+              WHERE n_words >= 40
+                AND round(n_alpha / greatest(n_chars, 1), 6) >= 0.8
+            ), tri AS (
+              SELECT doc_id, substr(text, i, 3) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 2))
+                               AS i
+                    FROM q)
+            ), counts AS (
+              SELECT g, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM tri
+              WHERE md5(CAST(doc_id AS VARCHAR)) LIKE '0%'
+              GROUP BY g
+            ), ctx AS (
+              SELECT substr(g, 1, 2) AS g2, SUM(c) AS c2
+              FROM counts GROUP BY g2
+            ), scored AS (
+              SELECT t.doc_id,
+                     ROUND(AVG(LN((COALESCE(c.c, 0) + 1.0)
+                                  / (COALESCE(x.c2, 0) + 256.0))), 6)
+                         AS avg_logp
+              FROM tri t
+              LEFT JOIN counts c ON t.g = c.g
+              LEFT JOIN ctx x ON substr(t.g, 1, 2) = x.g2
+              GROUP BY t.doc_id
+            )
+            SELECT q.doc_id, q.n_chars, q.n_words, q.alpha_ratio,
+                   s.avg_logp
+            FROM q JOIN scored s ON q.doc_id = s.doc_id
+            WHERE s.avg_logp >= -2.04
+            QUALIFY row_number() OVER (PARTITION BY q.text
+                                       ORDER BY q.doc_id) = 1
+            ORDER BY q.doc_id
         """,
         # E42: same deterministic PII injection, then nested RE2
         # regexp_replace — patterns identical to stages/scrub.py

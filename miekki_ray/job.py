@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> int:
     # curate-pipeline knobs (ignored under --pipeline dedup)
     p.add_argument("--min-words", type=int, default=40)
     p.add_argument("--min-alpha-ratio", type=float, default=0.8)
+    p.add_argument("--lm-threshold", type=float, default=None,
+                   help="drop docs whose avg trigram log-prob under the "
+                        "corpus-sample LM is below this (CCNet-style "
+                        "perplexity cut); off by default")
     p.add_argument("--pack-budget", type=int, default=512)
     p.add_argument("--tokenizer", choices=["whitespace", "bpe"],
                    default="whitespace")
@@ -91,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             args.turns, cfg, out_dir=args.out,
             min_words=args.min_words,
             min_alpha_ratio=args.min_alpha_ratio,
+            lm_threshold=args.lm_threshold,
             budget=args.pack_budget, tokenizer=args.tokenizer,
             bench_docs=args.bench_docs)
         bins = packed.groupby("bin").count()

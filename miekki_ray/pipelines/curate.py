@@ -99,14 +99,25 @@ def keep_first_exact(scored: ray.data.Dataset,
 
 def curate_documents(docs: ray.data.Dataset, *, min_words: int = 40,
                      min_alpha_ratio: float = 0.8,
+                     lm_threshold: float | None = None,
+                     lm_digest: str = "splitmix",
                      num_partitions: int = 16) -> ray.data.Dataset:
-    """quality_filter → keep_first_exact; see module docstring.
-    ``num_partitions`` sizes the pipeline's ONE grouped exchange — size it
-    like any shuffle width (~4x the executor count)."""
-    return keep_first_exact(
-        quality_filter(docs, min_words=min_words,
-                       min_alpha_ratio=min_alpha_ratio),
-        num_partitions=num_partitions)
+    """quality_filter → [LM perplexity filter] → keep_first_exact; see
+    module docstring. ``lm_threshold`` (r5): when set, documents whose
+    avg trigram log-prob under the corpus-sample model falls below it
+    are dropped AFTER the cheap heuristics and BEFORE the keep-first
+    exchange (stages/lm.lm_filter — the CCNet-style cut), so junk never
+    crosses the wire. ``num_partitions`` sizes the pipeline's ONE
+    grouped exchange — size it like any shuffle width (~4x the executor
+    count)."""
+    scored = quality_filter(docs, min_words=min_words,
+                            min_alpha_ratio=min_alpha_ratio)
+    if lm_threshold is not None:
+        from miekki_ray.stages.lm import lm_filter
+        scored = lm_filter(scored, threshold=lm_threshold,
+                           digest=lm_digest,
+                           num_partitions=num_partitions)
+    return keep_first_exact(scored, num_partitions=num_partitions)
 
 
 def _turns_to_docs(turns: ray.data.Dataset, cfg) -> ray.data.Dataset:
@@ -139,6 +150,8 @@ def _turns_to_docs(turns: ray.data.Dataset, cfg) -> ray.data.Dataset:
 
 def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
                min_words: int = 40, min_alpha_ratio: float = 0.8,
+               lm_threshold: float | None = None,
+               lm_digest: str = "splitmix",
                budget: int = 512, tokenizer: str = "whitespace",
                bench_docs: str | None = None):
     """Curation as a JOB (the run_dedup twin for the pre-training data
@@ -173,6 +186,8 @@ def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
     def curated_of(docs):
         return curate_documents(docs, min_words=min_words,
                                 min_alpha_ratio=min_alpha_ratio,
+                                lm_threshold=lm_threshold,
+                                lm_digest=lm_digest,
                                 num_partitions=P)
 
     def packed_of(cur):
@@ -224,7 +239,9 @@ def run_curate(turns_path, cfg=None, out_dir: str | None = None, *,
                        upstream_dir=d_up,
                        config_hash=_h(dedup_cfg=dedup_h,
                                       min_words=min_words,
-                                      min_alpha_ratio=min_alpha_ratio))
+                                      min_alpha_ratio=min_alpha_ratio,
+                                      lm_threshold=lm_threshold,
+                                      lm_digest=lm_digest))
     packed, _ = r.run("packed", lambda: packed_of(cur),
                       upstream_dir=d_cur,
                       config_hash=_h(dedup_cfg=dedup_h, budget=budget,

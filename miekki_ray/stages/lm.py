@@ -182,3 +182,70 @@ def score_docs(docs: ray.data.Dataset, counts: pd.DataFrame,
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def lm_filter(docs: ray.data.Dataset, *, threshold: float,
+              digest: str = "splitmix", id_col: str = "doc_id",
+              text_col: str = "text",
+              num_partitions: int = 16) -> ray.data.Dataset:
+    """Perplexity FILTER for the curation chain: fit the trigram model on
+    the deterministic content-addressed 1/16 sample OF THE INPUT (rank 0
+    under ``digest`` — CCNet fits on a reference corpus; self-training on
+    the corpus sample is the self-contained variant), then keep rows
+    whose 6-dp-rounded avg trigram log-prob is >= ``threshold``. All
+    input columns pass through, plus ``avg_logp``. Rows without a single
+    trigram (text shorter than 3 chars) are dropped — they carry no
+    score. The comparison uses the ROUNDED value so the SQL twin cuts on
+    exactly the same number (the curate-module knife-edge rule).
+
+    NOTE the model fit is an execution barrier over the sample branch: on
+    a lazy input it re-executes the upstream lineage for the ~1/16
+    sample. In the checkpointed job the input is a parquet-backed stage
+    read, so the fit pass is a cheap projected re-read."""
+    from miekki_ray.functions.textstats import round_half_away
+    from miekki_ray.relational import _digest_rank16
+
+    def sample_filter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_digest_rank16(ids, digest) == 0))
+
+    counts = fit_trigram_counts(
+        docs.map_batches(sample_filter, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        text_col=text_col, num_partitions=num_partitions)
+    codes_sorted = counts["code"].to_numpy(dtype=np.int64)
+    n_sorted = counts["n"].to_numpy(dtype=np.float64)
+    ctx_sorted, ctx_n = _ctx_table(counts)
+    ref = ray.put((codes_sorted, n_sorted, ctx_sorted,
+                   ctx_n.astype(np.float64)))
+
+    def _lookup(sorted_keys, vals, keys):
+        out = np.zeros(keys.size, dtype=np.float64)
+        if sorted_keys.size:
+            idx = np.searchsorted(sorted_keys, keys)
+            idx_c = np.minimum(idx, sorted_keys.size - 1)
+            hit = sorted_keys[idx_c] == keys
+            out[hit] = vals[idx_c[hit]]
+        return out
+
+    def filt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        tc, tn, cc, cn = ray.get(ref)
+        codes, tri_lens = tri_codes(batch[text_col])
+        c = _lookup(tc, tn, codes)
+        cx = _lookup(cc, cn, codes // 256)
+        logp = np.log((c + ALPHA) / (cx + ALPHA * V))
+        avg = np.full(batch.num_rows, -np.inf)
+        has = tri_lens > 0
+        starts = np.concatenate(([0], np.cumsum(tri_lens)[:-1]))[has]
+        if starts.size:
+            avg[has] = round_half_away(
+                np.add.reduceat(logp, starts) / tri_lens[has], 6)
+        keep = has & (avg >= threshold)
+        out = batch.filter(pa.array(keep))
+        return out.append_column(
+            "avg_logp", pa.array(avg[keep], type=pa.float64()))
+
+    return docs.map_batches(filt, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -100,3 +100,68 @@ def test_documents_lm_score_digest_twins():
     assert (a["avg_logp"] < 0).all() and (m["avg_logp"] < 0).all()
     # natural text scores far above the uniform-model floor ln(1/256)
     assert a["avg_logp"].mean() > np.log(1 / 256) + 1.0
+
+
+def test_lm_filter_threshold_and_passthrough():
+    """lm_filter preserves input columns, appends the 6-dp avg_logp,
+    drops sub-threshold and trigram-less rows, and cuts on the ROUNDED
+    value (knife-edge rule shared with the SQL twin)."""
+    from miekki_ray.stages.lm import lm_filter
+
+    # doc 0 is repetitive/high-prob under the sample model; doc 1 is
+    # alien text scoring at the smoothing floor; doc 2 has no trigram
+    docs = pa.table({
+        "doc_id": pa.array([0, 16, 2], type=pa.int64()),
+        "text": pa.array(["aaaaaaaaaa", "zzzzzzzzzz", "ab"],
+                         type=pa.string()),
+        "extra": pa.array(["x", "y", "z"]),
+    })
+    # splitmix rank-0 sample of {0, 16, 2}: computed, not assumed
+    from miekki_ray.relational import _digest_rank16
+    ranks = _digest_rank16(np.array([0, 16, 2], dtype=np.int64),
+                           "splitmix")
+    assert (ranks == 0).any()       # at least one doc trains the model
+    ds = ray.data.from_arrow(docs)
+    loose = lm_filter(ds, threshold=-99.0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(loose.columns) == {"doc_id", "text", "extra", "avg_logp"}
+    assert loose["doc_id"].tolist() == [0, 16]     # trigram-less dropped
+    # exact cut on the rounded value: threshold == a doc's score keeps it
+    s0 = float(loose.loc[loose["doc_id"] == 0, "avg_logp"].iloc[0])
+    kept = lm_filter(ds, threshold=s0).to_pandas()
+    assert 0 in kept["doc_id"].tolist()
+    # doc 16 scores below doc 0, so an epsilon above s0 empties the set
+    # (empty all-0-row datasets lose their schema in Ray — count, not
+    # columns, is the assertable fact)
+    assert lm_filter(ds, threshold=s0 + 1e-6).count() == 0
+
+
+def test_run_curate_lm_knob_checkpoint_invalidation(tmp_path):
+    """The lm_threshold knob joins the curated stage's config hash: a
+    threshold change re-runs curated+packed but keeps the docs root; the
+    same threshold resumes fully."""
+    import pyarrow.parquet as pq
+
+    from miekki_ray.config import DedupConfig
+    from miekki_ray.pipelines.curate import run_curate
+    from miekki_ray.synth import synth_transcripts
+
+    turns, _ = synth_transcripts(60, 3)
+    tdir = tmp_path / "turns"
+    tdir.mkdir()
+    pq.write_table(turns, str(tdir / "part-0.parquet"))
+    cfg = DedupConfig(num_partitions=4, sketch_concurrency=2)
+    out = str(tmp_path / "run")
+    p1, m1 = run_curate(str(tdir), cfg, out_dir=out, min_words=1,
+                        lm_threshold=None)
+    n_off = p1.count()
+    assert "curated" in m1["ran"]
+    p2, m2 = run_curate(str(tdir), cfg, out_dir=out, min_words=1,
+                        lm_threshold=-1.9)
+    assert "docs" in m2["skipped"] and "curated" in m2["ran"]
+    n_on = p2.count()
+    assert n_on <= n_off
+    p3, m3 = run_curate(str(tdir), cfg, out_dir=out, min_words=1,
+                        lm_threshold=-1.9)
+    assert m3["ran"] == []          # same knobs -> full resume
+    assert p3.count() == n_on
