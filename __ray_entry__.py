@@ -554,6 +554,31 @@ def _documents_curated_lm(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_snm_pairs(sf_dir: str):
+    """r5: sorted-neighborhood (SNM) dedup candidates — every doc pair
+    within a 10-rank window under the (first-24-chars, doc_id) total
+    order. The classic windowed complement to LSH blocking; the oracle
+    states the identical rank self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from miekki_ray.stages.snm import snm_pairs
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "key": pc.utf8_slice_codeunits(b["text"], 0, 24),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return snm_pairs(keyed_ds, window=10,
+                     num_partitions=_cfg().num_partitions) \
+        .sort(["a", "b"])
+
+
 def _documents_curation_e2e(sf_dir: str):
     """E49 end-to-end curation COMPOSITION — the full pre-training data
     path as ONE lazy Ray pipeline: decontaminate (bench = doc_id%17==3,
@@ -1137,6 +1162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _containment_pairs,
         "part_levenshtein_pairs": _part_levenshtein_pairs,
         "ngram_near_dup_pairs": _ngram_pairs,
+        # NEW in r5: sorted-neighborhood candidates (full SQL oracle);
+        # embedding_label_centroids rotated out (double-green r3+r4,
+        # untouched)
+        "documents_snm_pairs": _documents_snm_pairs,
         # --- aggregates / scalar kernels (SQL-oracled) ---
         "events_value_quantiles_approx": _events_value_quantiles_approx,
         # --- r5 window rotation (VERDICT r4 Next #2): ann_topk_lsh_filter
@@ -1174,7 +1203,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_tfidf_top_terms": R.documents_tfidf_top_terms,
         # --- embeddings / clustering ---
         "embedding_norms_topk": R.embedding_norms_topk,
-        "embedding_label_centroids": R.embedding_label_centroids,
         "embedding_kmeans": _embedding_kmeans,
         # --- sources / sinks round-trips ---
         "nation_csv_region_join": _nation_csv_region_join,
@@ -1242,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube_agg": R.orders_cube_agg,
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
         "events_corr_by_type": R.events_corr_by_type,
+        "embedding_label_centroids": R.embedding_label_centroids,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "events_value_histogram": R.events_value_histogram,
@@ -2021,6 +2050,22 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # r5 (E56): the SNM rank self-join — the identical (key, doc_id)
+        # total order, window 10 (gap <= 9), pairs canonical by id
+        "documents_snm_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY substr(text, 1, 24),
+                                        doc_id) - 1 AS rnk
+              FROM documents
+            )
+            SELECT LEAST(x.doc_id, y.doc_id) AS a,
+                   GREATEST(x.doc_id, y.doc_id) AS b,
+                   y.rnk - x.rnk AS gap
+            FROM r x JOIN r y
+              ON y.rnk > x.rnk AND y.rnk - x.rnk <= 9
+            ORDER BY a, b
         """,
         # r5: the full curation-with-LM composition — quality clauses as
         # documents_curated, then the E53 trigram model REFIT on the
