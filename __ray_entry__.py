@@ -554,6 +554,57 @@ def _documents_curated_lm(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_union_generations(sf_dir: str):
+    """r5: UNION across schema drift (functions/util.union_by_name) —
+    the documents table split into two 'corpus generations' with
+    different column sets (even doc_ids carry lang, odd carry source),
+    written as two parquet dirs, read back, unioned by name with typed
+    null fill, aggregated. The oracle restates the generation split."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from miekki_ray.functions.util import union_by_name
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text", "lang",
+                                         "source"])
+    tmp = tempfile.mkdtemp(prefix="miekki_gen_union_")
+
+    def gen(parity: int, cols: list):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            return b.select(cols).filter(pa.array(ids % 2 == parity))
+        return f
+
+    ds.map_batches(gen(0, ["doc_id", "text", "lang"]),
+                   batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(tmp, "gen_a"))
+    ds.map_batches(gen(1, ["doc_id", "text", "source"]),
+                   batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(os.path.join(tmp, "gen_b"))
+    u = union_by_name([
+        ray.data.read_parquet(os.path.join(tmp, "gen_a")),
+        ray.data.read_parquet(os.path.join(tmp, "gen_b")),
+    ])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.fill_null(b["lang"], ""),
+            "has_source": pc.cast(pc.is_valid(b["source"]), pa.int64()),
+        })
+
+    return (u.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n"),
+                       Sum("has_source", alias_name="n_with_source"))
+            .sort("lang"))
+
+
 def _documents_snm_pairs(sf_dir: str):
     """r5: sorted-neighborhood (SNM) dedup candidates — every doc pair
     within a 10-rank window under the (first-24-chars, doc_id) total
@@ -1166,6 +1217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_label_centroids rotated out (double-green r3+r4,
         # untouched)
         "documents_snm_pairs": _documents_snm_pairs,
+        # NEW in r5: schema-drift union (UNION BY NAME semantics);
+        # documents_top_clusters rotated out (double-green r3+r4,
+        # untouched)
+        "documents_union_generations": _documents_union_generations,
         # --- aggregates / scalar kernels (SQL-oracled) ---
         "events_value_quantiles_approx": _events_value_quantiles_approx,
         # --- r5 window rotation (VERDICT r4 Next #2): ann_topk_lsh_filter
@@ -1208,7 +1263,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_csv_region_join": _nation_csv_region_join,
         "documents_partitioned_sink": _documents_partitioned_sink,
         # --- cluster stats / media (rows-only) ---
-        "documents_top_clusters": _documents_top_clusters,
         "dedup_cluster_stats": _dedup_cluster_stats,
         "media_decode": _media_decode,
         # --- new in r3 ---
@@ -1271,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_customers_vs_suppliers": R.nations_customers_vs_suppliers,
         "events_corr_by_type": R.events_corr_by_type,
         "embedding_label_centroids": R.embedding_label_centroids,
+        "documents_top_clusters": _documents_top_clusters,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "events_value_histogram": R.events_value_histogram,
@@ -2050,6 +2105,16 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # r5 (E57): the generation split restated — even ids carry lang,
+        # odd carry source; union-by-name null fill becomes CASE/NULL
+        "documents_union_generations": """
+            SELECT COALESCE(CASE WHEN doc_id % 2 = 0 THEN lang END, '')
+                       AS lang,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_with_source
+            FROM documents GROUP BY 1 ORDER BY lang
         """,
         # r5 (E56): the SNM rank self-join — the identical (key, doc_id)
         # total order, window 10 (gap <= 9), pairs canonical by id

@@ -103,6 +103,49 @@ def ensure_schema(ds: ray.data.Dataset, schema: pa.Schema
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def union_by_name(datasets: list[ray.data.Dataset]) -> ray.data.Dataset:
+    """UNION across schema drift (r5): multi-generation corpora add and
+    drop columns over time, and Ray's native ``Dataset.union`` requires
+    identical schemas [env 2.49.2]. Each input is conformed to the
+    union-of-schemas — missing columns filled with TYPED nulls, column
+    order normalized to first-seen order — then unioned. A column whose
+    type CONFLICTS across inputs raises loudly (silent casts corrupt;
+    the caller decides the cast). Schema discovery is metadata-only on
+    parquet-backed inputs."""
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        arrow = getattr(sch, "base_schema", None)
+        if not isinstance(arrow, pa.Schema):
+            raise ValueError(
+                f"union_by_name needs Arrow schemas; got {sch!r}")
+        for f in arrow:
+            if f.name in fields and fields[f.name] != f.type:
+                raise ValueError(
+                    f"column {f.name!r} type conflict across inputs: "
+                    f"{fields[f.name]} vs {f.type} — cast explicitly "
+                    "before unioning")
+            fields.setdefault(f.name, f.type)
+    target = pa.schema(list(fields.items()))
+
+    def conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in batch.column_names:
+                cols.append(batch[f.name])
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=f.type))
+        return pa.table(dict(zip(target.names, cols)))
+
+    conformed = [ds.map_batches(conform, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 for ds in datasets]
+    out = conformed[0]
+    return out.union(*conformed[1:]) if len(conformed) > 1 else out
+
+
 def rename(ds: ray.data.Dataset, mapping: dict[str, str]) -> ray.data.Dataset:
     """Rename columns via a zero-copy Arrow map_batches.
 

@@ -352,3 +352,38 @@ def test_image_resizer_branch_selection(monkeypatch):
     # row 1: decode fails -> stub fallback, byte-identical to no-PIL run
     assert (real_out["payload"].to_pylist()[1]
             == stub_out["payload"].to_pylist()[1])
+
+
+def test_union_by_name_schema_drift():
+    """r5: union across drifted schemas — missing columns become TYPED
+    nulls, column order normalizes to first-seen, and a cross-input type
+    conflict raises instead of silently casting."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from miekki_ray.functions.util import union_by_name
+
+    a = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "lang": pa.array(["en", "de"]),
+    }))
+    b = ray.data.from_arrow(pa.table({
+        "source": pa.array(["web"]),
+        "id": pa.array([3], type=pa.int64()),
+    }))
+    u = union_by_name([a, b]).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    assert list(u.columns) == ["id", "lang", "source"]   # first-seen
+    assert u["id"].tolist() == [1, 2, 3]
+    assert u["lang"].tolist()[:2] == ["en", "de"]
+    assert u["lang"].isna().tolist() == [False, False, True]
+    assert u["source"].isna().tolist() == [True, True, False]
+    # single input passes through
+    assert union_by_name([a]).count() == 2
+    # type conflict raises loudly
+    c = ray.data.from_arrow(pa.table({
+        "id": pa.array(["x"], type=pa.string())}))
+    with pytest.raises(ValueError, match="conflict"):
+        union_by_name([a, c])
