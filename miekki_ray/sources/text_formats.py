@@ -39,8 +39,11 @@ def replace_dir_write(out_dir: str, write_fn,
     the previous output survives every crash window (worst case it is
     parked at ``<out>.old-*``, never destroyed mid-write); residue from
     PRIOR crashed runs (``<out>.tmp-*`` / ``<out>.old-*`` siblings, ours
-    by naming construction) is cleared on entry so crashes don't leak
-    full-size output copies indefinitely. With ``marker`` set, the
+    by naming construction) is cleared AFTER the successful publish —
+    never before it: a parked sibling may be the ONLY complete copy
+    after a crash between the two renames, and sweeping it on entry
+    would leave zero copies anywhere for the whole duration of the new
+    write (r5 review). With ``marker`` set, the
     marker file is dropped inside the output and a non-empty existing
     directory WITHOUT it (i.e. not produced by this sink) raises instead
     of being replaced; marker=None skips both (for parquet outputs whose
@@ -69,12 +72,6 @@ def replace_dir_write(out_dir: str, write_fn,
             f"refusing to replace {out}: directory is non-empty and was "
             f"not written by this sink (no {marker} marker) — "
             "pass a fresh out_dir or remove it explicitly")
-    parent, base = os.path.dirname(out), os.path.basename(out)
-    if os.path.isdir(parent):
-        for f in os.listdir(parent):
-            if f.startswith((f"{base}.tmp-", f"{base}.old-")):
-                shutil.rmtree(os.path.join(parent, f),
-                              ignore_errors=True)
     nonce = uuid.uuid4().hex
     tmp = f"{out}.tmp-{nonce}"
     write_fn(tmp)
@@ -88,6 +85,15 @@ def replace_dir_write(out_dir: str, write_fn,
     os.rename(tmp, out)                    # publish: atomic on one fs
     if old is not None:
         shutil.rmtree(old, ignore_errors=True)
+    # residue sweep LAST (see docstring): only once the new output is
+    # published is it safe to drop prior runs' parked copies
+    parent, base = os.path.dirname(out), os.path.basename(out)
+    if os.path.isdir(parent):
+        for f in os.listdir(parent):
+            if f.startswith((f"{base}.tmp-", f"{base}.old-")) \
+                    and f != os.path.basename(tmp):
+                shutil.rmtree(os.path.join(parent, f),
+                              ignore_errors=True)
 
 
 # backward-compat alias (r5 review: job.py shares the implementation now)

@@ -126,6 +126,57 @@ def _ctx_table(counts: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ctx[starts], np.add.reduceat(ns, starts)
 
 
+def _lookup(sorted_keys: np.ndarray, vals: np.ndarray,
+            keys: np.ndarray) -> np.ndarray:
+    """Vectorized sorted-array lookup, 0.0 for misses — THE model-count
+    lookup shared by score_docs and lm_filter (one definition; the
+    smoothing semantics the SQL oracles pin must not drift, r5
+    review)."""
+    out = np.zeros(keys.size, dtype=np.float64)
+    if sorted_keys.size:
+        idx = np.searchsorted(sorted_keys, keys)
+        idx_c = np.minimum(idx, sorted_keys.size - 1)
+        hit = sorted_keys[idx_c] == keys
+        out[hit] = vals[idx_c[hit]]
+    return out
+
+
+def _model_ref(counts: pd.DataFrame):
+    """Broadcast the fitted model ONCE: (trigram codes sorted, counts,
+    ctx codes sorted, ctx counts) as a ray.put reference."""
+    codes_sorted = counts["code"].to_numpy(dtype=np.int64)
+    n_sorted = counts["n"].to_numpy(dtype=np.float64)
+    if len(counts):
+        ctx_sorted, ctx_n = _ctx_table(counts)
+    else:
+        ctx_sorted = np.empty(0, dtype=np.int64)
+        ctx_n = np.empty(0, dtype=np.int64)
+    return ray.put((codes_sorted, n_sorted, ctx_sorted,
+                    ctx_n.astype(np.float64)))
+
+
+def _batch_avg_logp(col, model) -> tuple[np.ndarray, np.ndarray]:
+    """THE per-batch scoring core shared by score_docs and lm_filter:
+    (avg_logp rounded 6dp per row, -inf for trigram-less rows; tri_lens
+    per row). One definition so the smoothing formula, rounding and
+    lookup — the exact knife-edge semantics the SQL twins state — can
+    never diverge between the scorer and the filter (r5 review)."""
+    from miekki_ray.functions.textstats import round_half_away
+
+    tc, tn, cc, cn = model
+    codes, tri_lens = tri_codes(col)
+    c = _lookup(tc, tn, codes)
+    cx = _lookup(cc, cn, codes // 256)
+    logp = np.log((c + ALPHA) / (cx + ALPHA * V))
+    avg = np.full(tri_lens.size, -np.inf)
+    has = tri_lens > 0
+    starts = np.concatenate(([0], np.cumsum(tri_lens)[:-1]))[has]
+    if starts.size:
+        avg[has] = round_half_away(
+            np.add.reduceat(logp, starts) / tri_lens[has], 6)
+    return avg, tri_lens
+
+
 def score_docs(docs: ray.data.Dataset, counts: pd.DataFrame,
                id_col: str = "doc_id", text_col: str = "text"
                ) -> ray.data.Dataset:
@@ -134,50 +185,21 @@ def score_docs(docs: ray.data.Dataset, counts: pd.DataFrame,
     (doc_id, n_tri int64, avg_logp float64 rounded 6dp); docs with fewer
     than one trigram (length < 3) are excluded — AVG over zero rows is
     NULL in the SQL twin."""
-    from miekki_ray.functions.textstats import round_half_away
-
-    codes_sorted = counts["code"].to_numpy(dtype=np.int64)
-    n_sorted = counts["n"].to_numpy(dtype=np.float64)
-    if len(counts):
-        ctx_sorted, ctx_n = _ctx_table(counts)
-    else:
-        ctx_sorted = np.empty(0, dtype=np.int64)
-        ctx_n = np.empty(0, dtype=np.int64)
-    ref = ray.put((codes_sorted, n_sorted, ctx_sorted,
-                   ctx_n.astype(np.float64)))
+    ref = _model_ref(counts)
     EMPTY = pa.table({id_col: pa.array([], type=pa.int64()),
                       "n_tri": pa.array([], type=pa.int64()),
                       "avg_logp": pa.array([], type=pa.float64())})
 
-    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray,
-                keys: np.ndarray) -> np.ndarray:
-        out = np.zeros(keys.size, dtype=np.float64)
-        if sorted_keys.size:
-            idx = np.searchsorted(sorted_keys, keys)
-            idx_c = np.minimum(idx, sorted_keys.size - 1)
-            hit = sorted_keys[idx_c] == keys
-            out[hit] = vals[idx_c[hit]]
-        return out
-
     def score(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return EMPTY
-        tc, tn, cc, cn = ray.get(ref)
-        codes, tri_lens = tri_codes(batch[text_col])
-        c = _lookup(tc, tn, codes)
-        cx = _lookup(cc, cn, codes // 256)
-        logp = np.log((c + ALPHA) / (cx + ALPHA * V))
+        avg, tri_lens = _batch_avg_logp(batch[text_col], ray.get(ref))
         keep = tri_lens > 0
-        starts = np.concatenate(([0], np.cumsum(tri_lens)[:-1]))[keep]
-        sums = (np.add.reduceat(logp, starts) if starts.size
-                else np.empty(0, dtype=np.float64))
-        ntri = tri_lens[keep]
         ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
         return pa.table({
             id_col: pa.array(ids),
-            "n_tri": pa.array(ntri, type=pa.int64()),
-            "avg_logp": pa.array(round_half_away(sums / ntri, 6),
-                                 type=pa.float64()),
+            "n_tri": pa.array(tri_lens[keep], type=pa.int64()),
+            "avg_logp": pa.array(avg[keep], type=pa.float64()),
         })
 
     return docs.map_batches(score, batch_format="pyarrow",
@@ -202,7 +224,6 @@ def lm_filter(docs: ray.data.Dataset, *, threshold: float,
     a lazy input it re-executes the upstream lineage for the ~1/16
     sample. In the checkpointed job the input is a parquet-backed stage
     read, so the fit pass is a cheap projected re-read."""
-    from miekki_ray.functions.textstats import round_half_away
     from miekki_ray.relational import _digest_rank16
 
     def sample_filter(batch: pa.Table) -> pa.Table:
@@ -213,36 +234,17 @@ def lm_filter(docs: ray.data.Dataset, *, threshold: float,
         docs.map_batches(sample_filter, batch_format="pyarrow",
                          zero_copy_batch=True),
         text_col=text_col, num_partitions=num_partitions)
-    codes_sorted = counts["code"].to_numpy(dtype=np.int64)
-    n_sorted = counts["n"].to_numpy(dtype=np.float64)
-    ctx_sorted, ctx_n = _ctx_table(counts)
-    ref = ray.put((codes_sorted, n_sorted, ctx_sorted,
-                   ctx_n.astype(np.float64)))
-
-    def _lookup(sorted_keys, vals, keys):
-        out = np.zeros(keys.size, dtype=np.float64)
-        if sorted_keys.size:
-            idx = np.searchsorted(sorted_keys, keys)
-            idx_c = np.minimum(idx, sorted_keys.size - 1)
-            hit = sorted_keys[idx_c] == keys
-            out[hit] = vals[idx_c[hit]]
-        return out
+    ref = _model_ref(counts)
 
     def filt(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return batch
-        tc, tn, cc, cn = ray.get(ref)
-        codes, tri_lens = tri_codes(batch[text_col])
-        c = _lookup(tc, tn, codes)
-        cx = _lookup(cc, cn, codes // 256)
-        logp = np.log((c + ALPHA) / (cx + ALPHA * V))
-        avg = np.full(batch.num_rows, -np.inf)
-        has = tri_lens > 0
-        starts = np.concatenate(([0], np.cumsum(tri_lens)[:-1]))[has]
-        if starts.size:
-            avg[has] = round_half_away(
-                np.add.reduceat(logp, starts) / tri_lens[has], 6)
-        keep = has & (avg >= threshold)
+            # typed empty WITH the output column: an all-filtered-
+            # upstream corpus must still carry avg_logp in its schema
+            # (the quality_filter/score_docs discipline, r5 review)
+            return batch.append_column(
+                "avg_logp", pa.array([], type=pa.float64()))
+        avg, tri_lens = _batch_avg_logp(batch[text_col], ray.get(ref))
+        keep = (tri_lens > 0) & (avg >= threshold)
         out = batch.filter(pa.array(keep))
         return out.append_column(
             "avg_logp", pa.array(avg[keep], type=pa.float64()))

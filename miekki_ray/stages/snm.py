@@ -11,11 +11,16 @@ hash-oracled rather than rows-only.
 
 Scale shape (three SLIM shuffles, no text ever crosses an exchange
 after the key map):
-  1. (doc_id, key) → range partition by key-quantile boundaries
-     (boundaries from a bounded ``limit()`` sample, the ivf_centroids
-     sampling pattern) → per-partition count → driver exclusive scan
-     (P numbers) → per-partition sort + GLOBAL rank assignment — the
-     pack_bins two-pass prefix-scan idiom over an arbitrary sort key.
+  1. (doc_id, key) → range partition by key-quantile boundaries.
+     Boundaries come from a PER-BATCH stride decimation (a few evenly
+     spaced keys from every batch, bounded by the block count) — NOT a
+     ``limit()`` prefix, which on a corpus whose storage order
+     correlates with the key (crawl/append-ordered corpora) would put
+     every boundary at the low end and collapse the rank shuffle into
+     one partition (r5 review). Then per-partition count → driver
+     exclusive scan (P numbers) → per-partition sort + GLOBAL rank
+     assignment — the pack_bins two-pass prefix-scan idiom over an
+     arbitrary sort key.
   2. rank-band explode: band = rank // B, plus an overlap copy of each
      band's first w-1 rows into the previous band — bands hold EXACT
      consecutive rank ranges of size B >= w, so every within-window
@@ -57,8 +62,24 @@ def snm_pairs(docs: ray.data.Dataset, *, window: int = 10,
     P = num_partitions
     slim = docs.select_columns([id_col, key_col])
 
-    # 1a. quantile boundaries from a bounded deterministic sample
-    sample = slim.limit(boundary_sample).to_pandas()
+    # 1a. quantile boundaries from a bounded deterministic sample —
+    # a stride decimation of EVERY batch (storage-order independent),
+    # capped per batch so the collected sample is bounded by the block
+    # count, not the corpus size
+    per_batch = max(8, boundary_sample // 64)
+
+    def decimate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({key_col: pa.array([], type=pa.string())})
+        stride = max(1, n // per_batch)
+        idx = np.arange(0, n, stride, dtype=np.int64)[:per_batch]
+        import pyarrow.compute as pc
+        return pa.table({key_col: pc.take(batch[key_col],
+                                          pa.array(idx))})
+
+    sample = slim.map_batches(decimate, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
     if len(sample) == 0:
         return ray.data.from_arrow(_EMPTY_PAIRS)
     skeys = np.sort(sample[key_col].to_numpy(dtype=object))

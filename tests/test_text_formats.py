@@ -262,3 +262,26 @@ def test_sink_file_uri_roundtrip(tmp_path):
     write_jsonl(ds, uri)
     write_jsonl(ds, uri)                   # re-run replaces, not appends
     assert len(read_jsonl(str(out)).to_pandas()) == 6
+
+
+def test_sink_parked_copy_survives_failed_rewrite(tmp_path):
+    """r5 review: prior-crash residue (possibly the ONLY complete copy)
+    must survive until the NEW output is published — a failing write
+    must not sweep it first."""
+    import os
+
+    import pytest
+
+    from miekki_ray.sources.text_formats import replace_dir_write
+
+    parked = tmp_path / "j.old-deadbeef"
+    parked.mkdir()
+    (parked / "only_copy.json").write_text('{"id": 1}\n')
+
+    def failing_write(p):
+        os.makedirs(p)
+        raise RuntimeError("simulated mid-write crash")
+
+    with pytest.raises(RuntimeError):
+        replace_dir_write(str(tmp_path / "j"), failing_write)
+    assert (parked / "only_copy.json").exists()   # still recoverable
