@@ -554,6 +554,18 @@ def _documents_curated_lm(sf_dir: str):
             .sort("doc_id"))
 
 
+def _documents_chunks(sf_dir: str):
+    """r5 (E58): training-window chunking with overlap — 64-token
+    windows every 48 tokens over the whitespace split; the oracle
+    states the identical window join + ordered string_agg."""
+    from miekki_ray.stages.packing import chunk_docs
+
+    ds = _read_tbl(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_docs(ds, chunk_tokens=64, overlap=16,
+                      num_partitions=_cfg().num_partitions) \
+        .sort(["doc_id", "chunk_idx"])
+
+
 def _documents_union_generations(sf_dir: str):
     """r5: UNION across schema drift (functions/util.union_by_name) —
     the documents table split into two 'corpus generations' with
@@ -1185,7 +1197,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta_stats": _media_stats,
         # --- scrub / curate / packing (LLM-pipeline ops) ---
         "documents_pii_redact": _documents_pii_redact,
-        "documents_decontaminated": _documents_decontaminated,
         "documents_dup_ngram_stats": _documents_dup_ngram_stats,
         "conversation_stats": _conversation_stats,
         "documents_pack_bins": _documents_pack_bins,
@@ -1221,6 +1232,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents_top_clusters rotated out (double-green r3+r4,
         # untouched)
         "documents_union_generations": _documents_union_generations,
+        # NEW in r5: overlapped training-window chunking (full SQL
+        # oracle); documents_decontaminated rotated out (double-green
+        # r3+r4, untouched)
+        "documents_chunks": _documents_chunks,
         # --- aggregates / scalar kernels (SQL-oracled) ---
         "events_value_quantiles_approx": _events_value_quantiles_approx,
         # --- r5 window rotation (VERDICT r4 Next #2): ann_topk_lsh_filter
@@ -1326,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_by_type": R.events_corr_by_type,
         "embedding_label_centroids": R.embedding_label_centroids,
         "documents_top_clusters": _documents_top_clusters,
+        "documents_decontaminated": _documents_decontaminated,
         "documents_sentence_stats": R.documents_sentence_stats,
         "documents_top_tokens_approx": _documents_top_tokens_approx,
         "events_value_histogram": R.events_value_histogram,
@@ -2105,6 +2121,34 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY text
                                        ORDER BY doc_id) = 1
             ORDER BY doc_id
+        """,
+        # r5 (E58): the chunk-window join restated — same whitespace
+        # split (empty tokens from repeated spaces included), chunk k
+        # covers token idx in [k*48, k*48+64), ordered string_agg
+        "documents_chunks": """
+            WITH arrs AS (
+              SELECT doc_id, string_split(text, ' ') AS arr
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, unnest(arr) AS tok,
+                     generate_subscripts(arr, 1) - 1 AS idx
+              FROM arrs
+            ), chunks AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                         0, CAST(floor((len(arr) - 1) / 48) AS INT)))
+                         AS k
+              FROM arrs
+            )
+            SELECT c.doc_id, c.k AS chunk_idx,
+                   COUNT(*) AS n_tokens,
+                   string_agg(t.tok, ' ' ORDER BY t.idx) AS chunk_text
+            FROM chunks c
+            JOIN toks t ON t.doc_id = c.doc_id
+                       AND t.idx >= c.k * 48
+                       AND t.idx < c.k * 48 + 64
+            GROUP BY c.doc_id, c.k
+            ORDER BY c.doc_id, chunk_idx
         """,
         # r5 (E57): the generation split restated — even ids carry lang,
         # odd carry source; union-by-name null fill becomes CASE/NULL

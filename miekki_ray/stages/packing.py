@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
@@ -110,3 +111,109 @@ def pack_bins(docs: ray.data.Dataset, *, budget: int = 2048,
         })
 
     return tagged.groupby("_p").map_groups(assign, batch_format="pandas")
+
+
+def chunk_docs(docs: ray.data.Dataset, *, chunk_tokens: int = 64,
+               overlap: int = 16, num_partitions: int = 16,
+               id_col: str = "doc_id", text_col: str = "text"
+               ) -> ray.data.Dataset:
+    """E58 — training-window CHUNKING with overlap (the standard
+    pretraining/RAG splitter, the intra-document complement of
+    pack_bins' inter-document packing): each doc's whitespace tokens
+    are windowed into chunks of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap`` positions; the last chunk may be short.
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text), chunk_text =
+    the window's tokens re-joined with single spaces.
+
+    Scale shape: one map explodes (doc_id, chunk_idx, token_idx, token)
+    rows — each token lands in at most ceil(C/step) chunks — then ONE
+    doc-hash grouped exchange assembles chunks with an Arrow-native
+    list build + pc.binary_join (no per-token Python). Tokenization is
+    pc.split_pattern(' '), byte-identical to the SQL twin's
+    string_split (empty tokens from repeated spaces included — the
+    split is the contract, not a linguistic tokenizer)."""
+    import pyarrow.compute as pc
+
+    from miekki_ray.functions.hashing import splitmix64
+
+    C, O = chunk_tokens, overlap
+    if not 0 <= O < C:
+        raise ValueError(f"overlap={O} must satisfy 0 <= overlap < "
+                         f"chunk_tokens={C}")
+    step = C - O
+    n_mem = -(-C // step)               # ceil: max chunks per token
+    P = num_partitions
+
+    def explode(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "_k": pa.array([], type=pa.int64()),
+            "_idx": pa.array([], type=pa.int64()),
+            "_tok": pa.array([], type=pa.string()),
+            "_part": pa.array([], type=pa.int32()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch[text_col], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_rep = np.repeat(ids, lens)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        flat = toks.flatten()
+        base = idx // step
+        out = []
+        for m in range(n_mem):
+            k = base - m
+            valid = (k >= 0) & (idx < k * step + C)
+            if not valid.any():
+                continue
+            out.append(pa.table({
+                id_col: pa.array(doc_rep[valid], type=pa.int64()),
+                "_k": pa.array(k[valid], type=pa.int64()),
+                "_idx": pa.array(idx[valid], type=pa.int64()),
+                "_tok": flat.filter(pa.array(valid)),
+            }))
+        t = pa.concat_tables(out)
+        part = (splitmix64(t[id_col].to_numpy().view(np.uint64))
+                % np.uint64(P)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, type=pa.int32()))
+
+    def assemble(group) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "chunk_idx": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "chunk_text": pa.array([], type=pa.string()),
+        })
+        if len(group) == 0 or "_k" not in group.columns:
+            return empty
+        ids = group[id_col].to_numpy(dtype=np.int64)
+        ks = group["_k"].to_numpy(dtype=np.int64)
+        idxs = group["_idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((idxs, ks, ids))
+        ids, ks = ids[order], ks[order]
+        tok_vals = pa.array(group["_tok"].to_numpy(dtype=object)[order],
+                            type=pa.string())
+        change = np.flatnonzero(np.concatenate(
+            ([True], (ids[1:] != ids[:-1]) | (ks[1:] != ks[:-1]))))
+        bounds = np.append(change, ids.size)
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, type=pa.int32()), tok_vals)
+        return pa.table({
+            id_col: pa.array(ids[change], type=pa.int64()),
+            "chunk_idx": pa.array(ks[change], type=pa.int64()),
+            "n_tokens": pa.array(np.diff(bounds), type=pa.int64()),
+            "chunk_text": pc.binary_join(lists, " "),
+        })
+
+    return (docs.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("_part").map_groups(assemble,
+                                         batch_format="pandas"))

@@ -210,3 +210,46 @@ def test_decontaminate_emit_clean():
     assert clean["doc_id"].tolist() == [11, 12]
     assert clean.columns.tolist() == ["doc_id", "text", "extra"]
     assert clean["extra"].tolist() == ["b", "c"]
+
+
+def test_chunk_docs_windows_and_overlap():
+    """E58: exact window layout — chunks start every C-O tokens, cover
+    C tokens, last chunk short; empty text yields one empty-token
+    chunk; byte-identical token split semantics (repeated spaces make
+    empty tokens)."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from miekki_ray.stages.packing import chunk_docs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "a b", "",
+                          "x  y"]),   # double space -> empty token
+    })
+    ds = ray.data.from_arrow(docs).repartition(2)
+    out = chunk_docs(ds, chunk_tokens=4, overlap=2, num_partitions=4) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    d1 = out[out["doc_id"] == 1]
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+        "t8 t9"]
+    assert d1["n_tokens"].tolist() == [4, 4, 4, 4, 2]
+    assert out[out["doc_id"] == 2]["chunk_text"].tolist() == ["a b"]
+    assert out[out["doc_id"] == 3]["chunk_text"].tolist() == [""]
+    # 3 tokens [x, '', y] at step 2: windows start at 0 AND 2 (the
+    # second covers the tail token) — same as the SQL twin's
+    # generate_series(0, floor((n-1)/step))
+    assert out[out["doc_id"] == 4]["chunk_text"].tolist() == ["x  y", "y"]
+    assert out[out["doc_id"] == 4]["n_tokens"].tolist() == [3, 1]
+    # overlap=0 degenerates to disjoint windows
+    dz = chunk_docs(ds, chunk_tokens=4, overlap=0, num_partitions=4) \
+        .to_pandas()
+    d1z = dz[dz["doc_id"] == 1].sort_values("chunk_idx")
+    assert d1z["chunk_text"].tolist() == ["t0 t1 t2 t3", "t4 t5 t6 t7",
+                                          "t8 t9"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_docs(ds, chunk_tokens=4, overlap=4)
