@@ -154,6 +154,12 @@ def chunk_docs(docs: ray.data.Dataset, *, chunk_tokens: int = 64,
         })
         if batch.num_rows == 0:
             return empty
+        # null-text docs drop, matching the SQL twin (unnest of NULL
+        # yields no rows) — without this pc.list_value_length raises on
+        # the null list (r5 review, reproduced)
+        batch = batch.filter(pc.is_valid(batch[text_col]))
+        if batch.num_rows == 0:
+            return empty
         toks = pc.split_pattern(batch[text_col], " ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -185,35 +191,42 @@ def chunk_docs(docs: ray.data.Dataset, *, chunk_tokens: int = 64,
                 % np.uint64(P)).astype(np.int32)
         return t.append_column("_part", pa.array(part, type=pa.int32()))
 
-    def assemble(group) -> pa.Table:
+    def assemble(group: pa.Table) -> pa.Table:
         empty = pa.table({
             id_col: pa.array([], type=pa.int64()),
             "chunk_idx": pa.array([], type=pa.int64()),
             "n_tokens": pa.array([], type=pa.int64()),
             "chunk_text": pa.array([], type=pa.string()),
         })
-        if len(group) == 0 or "_k" not in group.columns:
+        if group.num_rows == 0 or "_k" not in group.column_names:
             return empty
-        ids = group[id_col].to_numpy(dtype=np.int64)
-        ks = group["_k"].to_numpy(dtype=np.int64)
-        idxs = group["_idx"].to_numpy(dtype=np.int64)
+        # Arrow all the way (r5 review): key columns to numpy for the
+        # sort, tokens reordered with pc.take — no Python-string boxing
+        # on the per-token exchange; offsets int64 (LargeList) so a
+        # partition is never capped at 2^31 token rows
+        ids = group[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ks = group["_k"].to_numpy(zero_copy_only=False)
+        idxs = group["_idx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((idxs, ks, ids))
         ids, ks = ids[order], ks[order]
-        tok_vals = pa.array(group["_tok"].to_numpy(dtype=object)[order],
-                            type=pa.string())
+        tok_vals = pc.take(group["_tok"],
+                           pa.array(order, type=pa.int64()))
+        if isinstance(tok_vals, pa.ChunkedArray):
+            tok_vals = tok_vals.combine_chunks()
         change = np.flatnonzero(np.concatenate(
             ([True], (ids[1:] != ids[:-1]) | (ks[1:] != ks[:-1]))))
         bounds = np.append(change, ids.size)
-        lists = pa.ListArray.from_arrays(
-            pa.array(bounds, type=pa.int32()), tok_vals)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(bounds, type=pa.int64()), tok_vals)
         return pa.table({
             id_col: pa.array(ids[change], type=pa.int64()),
             "chunk_idx": pa.array(ks[change], type=pa.int64()),
             "n_tokens": pa.array(np.diff(bounds), type=pa.int64()),
-            "chunk_text": pc.binary_join(lists, " "),
+            "chunk_text": pc.binary_join(lists, " ").cast(pa.string()),
         })
 
     return (docs.map_batches(explode, batch_format="pyarrow",
                              zero_copy_batch=True)
             .groupby("_part").map_groups(assemble,
-                                         batch_format="pandas"))
+                                         batch_format="pyarrow"))

@@ -253,3 +253,21 @@ def test_chunk_docs_windows_and_overlap():
                                           "t8 t9"]
     with pytest.raises(ValueError, match="overlap"):
         chunk_docs(ds, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_docs_null_text_drops_like_oracle():
+    """r5 review: a null-text doc must DROP (the SQL twin's unnest of
+    NULL yields no rows), not crash the explode."""
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.stages.packing import chunk_docs
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c", None], type=pa.string()),
+    })
+    out = chunk_docs(ray.data.from_arrow(docs), chunk_tokens=2,
+                     overlap=0, num_partitions=2).to_pandas()
+    assert set(out["doc_id"]) == {1}
+    assert sorted(out["chunk_text"]) == ["a b", "c"]
