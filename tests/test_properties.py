@@ -92,3 +92,50 @@ def test_unionfind_edge_order_invariant(edges):
     c1 = comp(edges)
     c2 = comp(list(reversed(edges)))
     assert c1 == c2
+
+
+def test_r5_keyed_ops_row_order_invariant():
+    """SURVEY §5.2 (row-order invariance of every keyed output) extended
+    to the r5 ops: permuting input rows must not change snm_pairs or
+    chunk_docs results — their outputs are keyed, never positional."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from miekki_ray.stages.packing import chunk_docs
+    from miekki_ray.stages.snm import snm_pairs
+
+    rng = np.random.default_rng(9)
+    n = 80
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "key": [f"k{rng.integers(0, 30):03d}" for _ in range(n)],
+        "text": [" ".join(f"w{rng.integers(0, 50)}"
+                          for _ in range(int(rng.integers(1, 40))))
+                 for _ in range(n)],
+    })
+    perm = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    def ds(frame, cols):
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(frame[cols], preserve_index=False)
+            .replace_schema_metadata(None)).repartition(3)
+
+    for frame_a, frame_b in ((df, perm),):
+        s1 = snm_pairs(ds(frame_a, ["doc_id", "key"]), window=5,
+                       num_partitions=4).to_pandas()
+        s2 = snm_pairs(ds(frame_b, ["doc_id", "key"]), window=5,
+                       num_partitions=4).to_pandas()
+        key = ["a", "b", "gap"]
+        pd.testing.assert_frame_equal(
+            s1.sort_values(key).reset_index(drop=True),
+            s2.sort_values(key).reset_index(drop=True))
+        c1 = chunk_docs(ds(frame_a, ["doc_id", "text"]), chunk_tokens=8,
+                        overlap=2, num_partitions=4).to_pandas()
+        c2 = chunk_docs(ds(frame_b, ["doc_id", "text"]), chunk_tokens=8,
+                        overlap=2, num_partitions=4).to_pandas()
+        key = ["doc_id", "chunk_idx"]
+        pd.testing.assert_frame_equal(
+            c1.sort_values(key).reset_index(drop=True),
+            c2.sort_values(key).reset_index(drop=True))
